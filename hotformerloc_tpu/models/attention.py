@@ -1,0 +1,129 @@
+"""Attention modules: windowed H-OSA attention, relay-token RTSA, pooling.
+
+Replaces OctreeAttention (/root/reference/models/octformer_backbone.py:24-98)
+and RTAttention (/root/reference/models/hotformerloc_backbone.py:27-98).
+All attentions run as fixed-shape batched einsums that map straight onto
+the MXU; logits/softmax are computed in fp32 regardless of the compute
+dtype. Masking uses key-validity only — per-sample layout means no
+cross-batch leakage is possible.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hotformerloc_tpu.models.layers import RPE, Dtype, dense, trunc_normal
+from hotformerloc_tpu.ops.window import MASK_VALUE
+
+
+def masked_softmax(logits: jnp.ndarray, key_mask: jnp.ndarray,
+                   mask_batch_dims: int) -> jnp.ndarray:
+    """Softmax over the last axis with boolean key masking in fp32.
+
+    key_mask broadcasts over the leading ``mask_batch_dims`` dims of
+    logits (e.g. heads, query axis).
+    """
+    logits = logits.astype(jnp.float32)
+    add = jnp.where(key_mask, 0.0, MASK_VALUE).astype(jnp.float32)
+    add = jnp.expand_dims(
+        add, axis=tuple(range(key_mask.ndim - 1,
+                              key_mask.ndim - 1 + mask_batch_dims)))
+    return jax.nn.softmax(logits + add, axis=-1)
+
+
+class WindowAttention(nn.Module):
+    """Windowed MHSA over (B, W, T, C) tokens, T = rt_per_window + K.
+
+    With rt_per_window G > 0 this is HAT attention: G relay slots are
+    prepended to each window and excluded from the RPE bias (zero-padded,
+    as in apply_rpe, models/octformer_backbone.py:87-94).
+    """
+    dim: int
+    num_heads: int
+    patch_size: int
+    dilation: int = 1
+    rt_per_window: int = 0
+    use_rpe: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask, rel_pos=None, deterministic=True):
+        B, W, T, C = x.shape
+        H = self.num_heads
+        G = self.rt_per_window
+        hd = C // H
+        qkv = dense(3 * C, self.dtype, use_bias=self.qkv_bias,
+                    name="qkv")(x)
+        qkv = qkv.reshape(B, W, T, 3, H, hd)
+        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        scale = hd ** -0.5
+        logits = jnp.einsum("bwthd,bwshd->bwhts", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        if self.use_rpe and rel_pos is not None:
+            bias = RPE(self.patch_size, H, self.dilation,
+                       self.dtype)(rel_pos)          # (B, W, H, K, K)
+            if G > 0:
+                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
+                                      (G, 0), (G, 0)))
+            logits = logits + bias.astype(jnp.float32)
+        attn = masked_softmax(logits, key_mask, 2)   # broadcast over (h, t)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bwhts,bwshd->bwthd", attn.astype(self.dtype), v)
+        out = out.reshape(B, W, T, C)
+        out = dense(C, self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class TokenAttention(nn.Module):
+    """Global masked MHSA over (B, M, C) tokens — the RTSA core
+    (models/hotformerloc_backbone.py:27-98)."""
+    dim: int
+    num_heads: int
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    qkv_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask, deterministic=True):
+        B, M, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        qkv = dense(3 * C, self.dtype, use_bias=self.qkv_bias,
+                    name="qkv")(x)
+        qkv = qkv.reshape(B, M, 3, H, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                            preferred_element_type=jnp.float32) * hd**-0.5
+        attn = masked_softmax(logits, key_mask, 2)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhts,bshd->bthd", attn.astype(self.dtype), v)
+        out = out.reshape(B, M, C)
+        out = dense(C, self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class AdaptivePooling(nn.Module):
+    """SALSA-style attentional pooling: k learnable queries attend over
+    input tokens (/root/reference/models/layers/salsa.py:12-55)."""
+    feature_dim: int
+    k_pooled_tokens: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_mask):
+        # x: (B, M, C), key_mask: (B, M) -> (B, k, C)
+        B, M, C = x.shape
+        q = self.param("query", nn.initializers.normal(1.0),
+                       (self.k_pooled_tokens, self.feature_dim))
+        logits = jnp.einsum("kc,bmc->bkm", q.astype(self.dtype), x,
+                            preferred_element_type=jnp.float32)
+        logits = logits * self.feature_dim ** -0.5
+        attn = masked_softmax(logits, key_mask, 1)
+        return jnp.einsum("bkm,bmc->bkc", attn.astype(self.dtype), x)

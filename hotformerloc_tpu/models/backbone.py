@@ -1,0 +1,246 @@
+"""HOTFormer backbone: conv stem, OctFormer stage, HOTFormer (RTSA+H-OSA)
+stage.
+
+Re-architecture of /root/reference/models/octformer_backbone.py:355-469
+and /root/reference/models/hotformerloc_backbone.py:337-811 for the
+per-sample static octree layout. The multi-scale relay-token tensor is a
+static concat over pyramid levels — no ragged splits — and every stage
+is jit-compiled end to end. Gradient checkpointing uses nn.remat per
+block, mirroring the reference's per-block torch checkpointing
+(models/hotformerloc_backbone.py:561-583).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hotformerloc_tpu.models.blocks import (HOTFormerBlock, OctFormerBlock,
+                                            RelayTokenBlock)
+from hotformerloc_tpu.models.config import ModelConfig
+from hotformerloc_tpu.models.layers import (ADaPE, Downsample, Dtype,
+                                            OctreeConvNormRelu,
+                                            OctreeDownConvNormRelu, dense)
+from hotformerloc_tpu.ops import window as ow
+from hotformerloc_tpu.ops.plan import OctreePlan
+
+
+class PatchEmbed(nn.Module):
+    """Conv stem (models/octformer_backbone.py:416-453): num_down stages
+    of [conv3 stride1 -> conv2 stride2] doubling channels from dim/2^n,
+    then a conv3 projection to ``dim`` at the reduced depth."""
+    dim: int
+    num_down: int = 2
+    downsample: bool = True
+    conv_norm: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, plan: OctreePlan, train: bool = False):
+        oc = plan.octree
+        d = oc.depth
+        if self.downsample:
+            chans = [int(self.dim * 2**i)
+                     for i in range(-self.num_down, 1)]
+            for i in range(self.num_down):
+                di = d - i
+                x = OctreeConvNormRelu(
+                    chans[i], 27, self.conv_norm, self.dtype,
+                    name=f"conv{i}")(x, plan.level_ctx(di).neigh,
+                                     oc.node_valid(di), train)
+                x = OctreeDownConvNormRelu(
+                    chans[i + 1], self.conv_norm, self.dtype,
+                    name=f"down{i}")(x, plan.children(di),
+                                     oc.node_valid(di - 1), train)
+            dp = d - self.num_down
+            x = OctreeConvNormRelu(self.dim, 27, self.conv_norm, self.dtype,
+                                   name="proj")(x, plan.level_ctx(dp).neigh,
+                                                oc.node_valid(dp), train)
+        else:
+            for i in range(self.num_down):
+                x = OctreeConvNormRelu(
+                    self.dim, 27, self.conv_norm, self.dtype,
+                    name=f"conv{i}")(x, plan.level_ctx(d).neigh,
+                                     oc.node_valid(d), train)
+        return x
+
+
+class OctFormerStage(nn.Module):
+    """num_blocks OctFormer blocks at one depth, alternating dilation
+    1 / D on even / odd blocks (models/octformer_backbone.py:355-413)."""
+    cfg: ModelConfig
+    dim: int
+    num_heads: int
+    drop_paths: Tuple[float, ...]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx, deterministic=True, train=False):
+        c = self.cfg
+        Block = OctFormerBlock
+        if c.grad_checkpoint:
+            Block = nn.remat(OctFormerBlock, static_argnums=(3, 4))
+        for i, dp in enumerate(self.drop_paths):
+            x = Block(self.dim, self.num_heads, c.patch_size,
+                      1 if i % 2 == 0 else c.dilation, c.mlp_ratio, dp,
+                      not c.disable_rpe, c.conv_norm, c.layer_scale,
+                      c.xcpe, c.proj_drop, c.attn_drop, dtype=self.dtype,
+                      name=f"block{i}")(x, ctx, deterministic, train)
+        return x
+
+
+class HOTFormerStage(nn.Module):
+    """The core stage: per-level relay-token init (+ADaPE), then
+    num_blocks iterations of [RTSA over all scales -> per-level H-OSA]
+    (models/hotformerloc_backbone.py:337-597).
+
+    Returns (local_feat_dict, relay_token_dict, rt_combined, rt_mask),
+    keyed by octree depth.
+    """
+    cfg: ModelConfig
+    channels: Tuple[int, ...]       # per pyramid level
+    num_heads: Tuple[int, ...]
+    drop_paths: Tuple[float, ...]   # per block
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, plan: OctreePlan, depth: int,
+                 deterministic=True, train=False):
+        c = self.cfg
+        K = c.patch_size
+        L = c.num_pyramid_levels
+        depths = [depth - j for j in range(L)]
+        oc = plan.octree
+        ctxs = [plan.level_ctx(d) for d in depths]
+        use_proj = c.use_projections
+        max_ch = max(self.channels)
+        max_heads = self.num_heads[self.channels.index(max_ch)]
+
+        # ---- init pyramid locals (downsample chain) --------------------
+        locals_ = [x]
+        for j in range(L - 1):
+            locals_.append(Downsample(
+                self.channels[j + 1], c.conv_norm, self.dtype,
+                name=f"downsample{j}")(
+                    locals_[j], plan.children(depths[j]),
+                    oc.node_valid(depths[j + 1]), train))
+
+        wvalids = [ow.window_valid(ctx.node_valid, K) for ctx in ctxs]
+        widths = [v.shape[1] for v in wvalids]
+
+        if c.disable_rt:
+            # Ablation path: plain OctFormer blocks per level, dilation
+            # re-enabled (models/hotformerloc_backbone.py:411-430).
+            Block = OctFormerBlock
+            if c.grad_checkpoint:
+                Block = nn.remat(OctFormerBlock, static_argnums=(3, 4))
+            for i, dp in enumerate(self.drop_paths):
+                for j in range(L):
+                    locals_[j] = Block(
+                        self.channels[j], self.num_heads[j], K,
+                        1 if i % 2 == 0 else c.dilation, c.mlp_ratio, dp,
+                        not c.disable_rpe, c.conv_norm, c.layer_scale,
+                        c.xcpe, c.proj_drop, c.attn_drop, dtype=self.dtype,
+                        name=f"hosa_l{j}_b{i}")(
+                            locals_[j], ctxs[j], deterministic, train)
+            local_dict = {d: f for d, f in zip(depths, locals_)}
+            return local_dict, {d: None for d in depths}, None, None
+
+        # ---- relay token init (masked window mean + ADaPE) -------------
+        rts = []
+        adape = ADaPE(max_ch, self.dtype, name="rt_adape") \
+            if c.adape_mode else None
+        for j, d in enumerate(depths):
+            rt = ow.masked_window_mean(locals_[j], ctxs[j].node_valid, K)
+            if adape is not None:
+                stats = ow.window_stats(ctxs[j].xyz, ctxs[j].node_valid, d,
+                                        K, c.adape_mode)
+                pe = adape(stats, deterministic)
+                if use_proj:
+                    pe = dense(self.channels[j], self.dtype,
+                               name=f"adape_proj{j}")(pe)
+                rt = rt + pe
+            if use_proj:
+                rt = dense(max_ch, self.dtype, name=f"init_up_proj{j}")(rt)
+            rts.append(rt)
+        rt_comb = jnp.concatenate(rts, axis=1)        # (B, sum(W_j), C)
+        rt_mask = jnp.concatenate(wvalids, axis=1)
+
+        # ---- RTSA + H-OSA loop ----------------------------------------
+        RTBlock, HBlock = RelayTokenBlock, HOTFormerBlock
+        if c.grad_checkpoint:
+            RTBlock = nn.remat(RelayTokenBlock, static_argnums=(2,))
+            HBlock = nn.remat(HOTFormerBlock, static_argnums=(3, 4))
+        for i, dp in enumerate(self.drop_paths):
+            rt_comb = RTBlock(max_ch, max_heads, c.mlp_ratio, dp,
+                              c.layer_scale, c.proj_drop, c.attn_drop,
+                              dtype=self.dtype, name=f"rtsa{i}")(
+                rt_comb, rt_mask, deterministic)
+            parts = []
+            off = 0
+            for j, d in enumerate(depths):
+                rt_j = rt_comb[:, off:off + widths[j]]
+                off += widths[j]
+                if use_proj:
+                    rt_j = dense(self.channels[j], self.dtype,
+                                 name=f"down_proj_l{j}_b{i}")(rt_j)
+                locals_[j], rt_j = HBlock(
+                    self.channels[j], self.num_heads[j], K, c.mlp_ratio,
+                    dp, not c.disable_rpe, c.conv_norm, c.layer_scale,
+                    c.xcpe, c.proj_drop, c.attn_drop,
+                    last=(i == len(self.drop_paths) - 1),
+                    rt_propagation=c.rt_propagation,
+                    rt_propagation_scale=c.rt_propagation_scale,
+                    dtype=self.dtype, name=f"hosa_l{j}_b{i}")(
+                        locals_[j], rt_j, ctxs[j], deterministic, train)
+                if use_proj:
+                    rt_j = dense(max_ch, self.dtype,
+                                 name=f"up_proj_l{j}_b{i}")(rt_j)
+                parts.append(rt_j)
+            rt_comb = jnp.concatenate(parts, axis=1)
+
+        local_dict = {d: f for d, f in zip(depths, locals_)}
+        splits = []
+        off = 0
+        for wj in widths:
+            splits.append(rt_comb[:, off:off + wj])
+            off += wj
+        rt_dict = {d: r for d, r in zip(depths, splits)}
+        return local_dict, rt_dict, rt_comb, rt_mask
+
+
+class HOTFormerBase(nn.Module):
+    """Stem -> OctFormer levels -> HOTFormer stage
+    (models/hotformerloc_backbone.py:600-685)."""
+    cfg: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, plan: OctreePlan, deterministic=True,
+                 train=False):
+        c = self.cfg
+        oc = plan.octree
+        octf_ch, pyr_ch = c.stage_channels()
+        octf_h, pyr_h = c.stage_heads()
+        rates = c.drop_path_rates()
+
+        feat = PatchEmbed(c.channels[0], c.stem_down,
+                          c.downsample_input_embeddings, c.conv_norm,
+                          self.dtype, name="patch_embed")(feat, plan, train)
+        d = c.transformer_depth
+        used = 0
+        for i in range(c.num_octf_levels):
+            nb = c.num_blocks[i]
+            feat = OctFormerStage(c, octf_ch[i], octf_h[i],
+                                  rates[used:used + nb], self.dtype,
+                                  name=f"octf_stage{i}")(
+                feat, plan.level_ctx(d), deterministic, train)
+            used += nb
+            feat = Downsample(c.channels[i + 1], c.conv_norm, self.dtype,
+                              name=f"octf_down{i}")(
+                feat, plan.children(d), oc.node_valid(d - 1), train)
+            d -= 1
+        return HOTFormerStage(c, pyr_ch, pyr_h, rates[used:used + c.num_blocks[-1]],
+                              self.dtype, name="hotf_stage")(
+            feat, plan, d, deterministic, train)

@@ -1,0 +1,180 @@
+"""Transformer blocks: OctFormer (local), H-OSA (window+relay), RTSA.
+
+Re-designs of /root/reference/models/octformer_backbone.py:174-291 and
+/root/reference/models/hotformerloc_backbone.py:101-273 on the
+per-sample static layout. A relay token (RT) is one learnable summary
+slot per attention window; H-OSA attends over [RT | window nodes], RTSA
+attends globally over the multi-scale RT set, which here is a simple
+static concatenation (the reference's ragged concat_and_pad_rt /
+unpad_and_split_rt CPU machinery, models/relay_token_utils.py:12-79,
+disappears entirely).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hotformerloc_tpu.models.attention import TokenAttention, WindowAttention
+from hotformerloc_tpu.models.layers import (ADaPE, CPE, DropPath, Dtype, Mlp,
+                                            dense)
+from hotformerloc_tpu.ops import window as ow
+from hotformerloc_tpu.ops.plan import LevelCtx
+
+
+class LayerScale(nn.Module):
+    """Optional learnable per-channel residual scale (CaiT style),
+    models/octformer_backbone.py:219-221."""
+    dim: int
+    init: Optional[float]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.init is None:
+            return x
+        g = self.param("gamma",
+                       nn.initializers.constant(self.init), (self.dim,))
+        return x * g.astype(self.dtype)
+
+
+class OctFormerBlock(nn.Module):
+    """Plain windowed block (no relay tokens): CPE -> window MHSA -> MLP.
+
+    Alternating blocks use dilated windows
+    (models/octformer_backbone.py:174-291,379-381).
+    """
+    dim: int
+    num_heads: int
+    patch_size: int
+    dilation: int = 1
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    use_rpe: bool = True
+    conv_norm: str = "layernorm"
+    layer_scale: Optional[float] = None
+    xcpe: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ctx: LevelCtx, deterministic: bool = True,
+                 train: bool = False):
+        K, D = self.patch_size, self.dilation
+        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
+            x, ctx.neigh, ctx.node_valid, train)
+        xw = ow.data_to_windows(x, K, D)
+        key_mask = ow.window_key_mask(ctx.node_valid, K, D)
+        rel_pos = ow.window_rel_pos(ctx.xyz, K, D) if self.use_rpe else None
+
+        h = nn.LayerNorm(dtype=self.dtype)(xw)
+        h = WindowAttention(self.dim, self.num_heads, K, D, 0, self.use_rpe,
+                            self.attn_drop, self.proj_drop,
+                            dtype=self.dtype)(h, key_mask, rel_pos,
+                                              deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        xw = xw + DropPath(self.drop_path)(h, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype)(xw)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                self.dtype)(h, deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        xw = xw + DropPath(self.drop_path)(h, deterministic)
+        return ow.windows_to_data(xw, K, D)
+
+
+class HOTFormerBlock(nn.Module):
+    """H-OSA block: CPE -> concat RT into window -> MHSA -> split RT back.
+
+    models/hotformerloc_backbone.py:101-207. Dilation is always 1 when
+    relay tokens are active (hard-disabled there at :122-124). On the
+    last block of a stage, optionally propagates RT features back into
+    the local map (rt_propagation, :196-206).
+    """
+    dim: int
+    num_heads: int
+    patch_size: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    use_rpe: bool = True
+    conv_norm: str = "layernorm"
+    layer_scale: Optional[float] = None
+    xcpe: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    last: bool = False
+    rt_propagation: bool = False
+    rt_propagation_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, rt, ctx: LevelCtx, deterministic: bool = True,
+                 train: bool = False):
+        # x: (B, N, C) locals; rt: (B, W, C) relay tokens of this level.
+        K = self.patch_size
+        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
+            x, ctx.neigh, ctx.node_valid, train)
+        xw = ow.data_to_windows(x, K)                       # (B, W, K, C)
+        node_mask_w = ow.window_key_mask(ctx.node_valid, K)  # (B, W, K)
+        wvalid = jnp.any(node_mask_w, axis=-1)              # (B, W)
+        t = jnp.concatenate([rt[:, :, None, :], xw], axis=2)  # (B, W, 1+K, C)
+        key_mask = jnp.concatenate([wvalid[:, :, None], node_mask_w], axis=2)
+        rel_pos = ow.window_rel_pos(ctx.xyz, K) if self.use_rpe else None
+
+        h = nn.LayerNorm(dtype=self.dtype)(t)
+        h = WindowAttention(self.dim, self.num_heads, K, 1, 1, self.use_rpe,
+                            self.attn_drop, self.proj_drop,
+                            dtype=self.dtype)(h, key_mask, rel_pos,
+                                              deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        t = t + DropPath(self.drop_path)(h, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype)(t)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                self.dtype)(h, deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        t = t + DropPath(self.drop_path)(h, deterministic)
+
+        rt = t[:, :, 0, :]
+        x = ow.windows_to_data(t[:, :, 1:, :], K)
+        if self.last and self.rt_propagation:
+            # Broadcast each window's RT to its K nodes, masked to valid
+            # nodes (reference nearest-upsample + rt_init_mask path).
+            up = jnp.repeat(rt, K, axis=1)                  # (B, W*K, C)
+            up = jnp.where(ctx.node_valid[..., None], up, 0)
+            if self.rt_propagation_scale is not None:
+                g = self.param("rt_gamma_propagate",
+                               nn.initializers.constant(
+                                   self.rt_propagation_scale), ())
+                up = up * g.astype(self.dtype)
+            x = x + up
+        return x, rt
+
+
+class RelayTokenBlock(nn.Module):
+    """RTSA block over the combined multi-scale relay tokens
+    (models/hotformerloc_backbone.py:210-273): pre-LN attention + MLP on
+    (B, M, C) with a key-validity mask."""
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    layer_scale: Optional[float] = None
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rt, rt_mask, deterministic: bool = True):
+        h = nn.LayerNorm(dtype=self.dtype)(rt)
+        h = TokenAttention(self.dim, self.num_heads, self.attn_drop,
+                           self.proj_drop, dtype=self.dtype)(
+            h, rt_mask, deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        rt = rt + DropPath(self.drop_path)(h, deterministic)
+        h = nn.LayerNorm(dtype=self.dtype)(rt)
+        h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
+                self.dtype)(h, deterministic)
+        h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
+        rt = rt + DropPath(self.drop_path)(h, deterministic)
+        return rt

@@ -1,0 +1,153 @@
+"""Model configuration — static hyperparameters of HOTFormerLoc-TPU.
+
+Mirrors the reference's ModelParams schema
+(/root/reference/misc/utils.py:15-101) plus the octree/static-shape
+settings our TPU layout needs (point budget, per-depth capacities).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+from hotformerloc_tpu.octree.build import default_capacities, round_up
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    model: str = "HOTFormerLoc"
+    # backbone
+    in_channels: int = 3
+    channels: Tuple[int, ...] = (128, 256)
+    num_blocks: Tuple[int, ...] = (4, 10)
+    num_heads: Tuple[int, ...] = (8, 16)
+    num_pyramid_levels: int = 3
+    num_octf_levels: int = 1
+    patch_size: int = 48
+    dilation: int = 4
+    drop_path: float = 0.5
+    mlp_ratio: float = 4.0
+    stem_down: int = 2
+    downsample_input_embeddings: bool = True
+    rt_size: int = 1
+    rt_propagation: bool = False
+    rt_propagation_scale: Optional[float] = None
+    disable_rt: bool = False
+    adape_mode: Optional[str] = "cov"     # None | 'pos' | 'var' | 'cov'
+    disable_rpe: bool = False
+    conv_norm: str = "layernorm"
+    layer_scale: Optional[float] = None
+    xcpe: bool = False
+    proj_drop: float = 0.0
+    attn_drop: float = 0.0
+    # pooling head
+    pooling: str = "PyramidAttnPoolMixer"
+    feature_size: int = 256
+    output_dim: int = 256
+    k_pooled_tokens: Tuple[int, ...] = (74, 36, 18)
+    normalize_embeddings: bool = True
+    input_features: str = "P"
+    # octree / static shapes
+    octree_depth: int = 9
+    num_points: int = 4096
+    capacities: Optional[Tuple[int, ...]] = None  # per depth from min_depth
+    grad_checkpoint: bool = True
+
+    # -- derived ---------------------------------------------------------
+    @property
+    def num_stages(self) -> int:
+        return self.num_octf_levels + self.num_pyramid_levels
+
+    @property
+    def transformer_depth(self) -> int:
+        """Finest depth seen by the transformer (after the stem)."""
+        d = self.octree_depth
+        if self.downsample_input_embeddings:
+            d -= self.stem_down
+        return d
+
+    @property
+    def min_depth(self) -> int:
+        return self.transformer_depth - self.num_stages + 1
+
+    @property
+    def pyramid_depths(self) -> Tuple[int, ...]:
+        d0 = self.transformer_depth - self.num_octf_levels
+        return tuple(d0 - j for j in range(self.num_pyramid_levels))
+
+    @property
+    def block_num(self) -> int:
+        return self.patch_size * self.dilation
+
+    def resolve_capacities(self) -> Tuple[int, ...]:
+        """Per-depth node capacities (index 0 == min_depth).
+
+        Transformer depths must be multiples of patch_size*dilation so
+        window partition is a reshape; stem-only depths need no rounding
+        beyond 8.
+        """
+        if self.capacities is not None:
+            caps = self.capacities
+        else:
+            caps = default_capacities(self.num_points, self.octree_depth,
+                                      self.min_depth, multiple_of=8)
+        caps = list(caps)
+        for d in range(self.min_depth, self.transformer_depth + 1):
+            i = d - self.min_depth
+            caps[i] = round_up(caps[i], self.block_num)
+        return tuple(caps)
+
+    def stage_channels(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        """(octf_channels, pyramid_channels); pyramid list broadcast to
+        num_pyramid_levels when a single value is given (the
+        use_projections=False path of HOTFormerStage,
+        models/hotformerloc_backbone.py:355-362)."""
+        octf = self.channels[:self.num_octf_levels]
+        pyr = self.channels[self.num_octf_levels:]
+        if len(pyr) == 1:
+            pyr = pyr * self.num_pyramid_levels
+        assert len(pyr) == self.num_pyramid_levels
+        return octf, pyr
+
+    def stage_heads(self) -> Tuple[Tuple[int, ...], Tuple[int, ...]]:
+        octf = self.num_heads[:self.num_octf_levels]
+        pyr = self.num_heads[self.num_octf_levels:]
+        if len(pyr) == 1:
+            pyr = pyr * self.num_pyramid_levels
+        assert len(pyr) == self.num_pyramid_levels
+        return octf, pyr
+
+    @property
+    def use_projections(self) -> bool:
+        pyr = self.channels[self.num_octf_levels:]
+        return len(pyr) > 1 and not self.disable_rt
+
+    def drop_path_rates(self) -> Tuple[float, ...]:
+        """Per-block linearly increasing stochastic depth
+        (models/hotformerloc_backbone.py:632)."""
+        total = sum(self.num_blocks)
+        if total <= 1:
+            return (0.0,) * total
+        return tuple(self.drop_path * i / (total - 1) for i in range(total))
+
+
+def oxford_config(**overrides) -> ModelConfig:
+    """HOTFormerLoc-Oxford (models/hotformerloc_oxford_cfg.txt)."""
+    return ModelConfig(octree_depth=9, num_points=4096, patch_size=48,
+                       **overrides)
+
+
+def cs_wild_places_config(**overrides) -> ModelConfig:
+    """HOTFormerLoc-CSWildPlaces (models/hotformerloc_cs-wild-places_cfg.txt)."""
+    return ModelConfig(octree_depth=7, num_points=4096, patch_size=64,
+                       **overrides)
+
+
+def tiny_test_config(**overrides) -> ModelConfig:
+    """Small config for unit tests / dry runs."""
+    kw = dict(channels=(32, 64), num_blocks=(2, 2), num_heads=(2, 4),
+              num_pyramid_levels=2, num_octf_levels=1, patch_size=8,
+              dilation=2, octree_depth=6, num_points=512,
+              k_pooled_tokens=(12, 4), feature_size=64, output_dim=64,
+              grad_checkpoint=False)
+    kw.update(overrides)
+    return ModelConfig(**kw)

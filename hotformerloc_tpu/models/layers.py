@@ -1,0 +1,297 @@
+"""Core NN layers: MLP, norms, CPE/xCPE, RPE, ADaPE, DropPath.
+
+TPU-native re-implementations of the reference layer zoo
+(/root/reference/models/layers/octformer_layers.py). Modules are
+flax.linen with fp32 params and a configurable compute dtype (bfloat16 on
+TPU); layer semantics follow the reference, layout follows our
+per-sample static octree arrays.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from hotformerloc_tpu.ops import conv as oconv
+
+Dtype = Any
+
+# trunc_normal(std=0.02) matches the reference's global Linear init
+# (models/hotformerloc_backbone.py:779-783).
+trunc_normal = nn.initializers.truncated_normal
+
+
+def dense(feat: int, dtype: Dtype, use_bias: bool = True,
+          name: Optional[str] = None, std: float = 0.02) -> nn.Dense:
+    return nn.Dense(feat, use_bias=use_bias, dtype=dtype,
+                    kernel_init=trunc_normal(std),
+                    bias_init=nn.initializers.zeros, name=name)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP (models/layers/octformer_layers.py:38-59)."""
+    hidden: int
+    out: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = dense(self.hidden, self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = dense(self.out, self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid octree nodes only.
+
+    The reference's BatchNorm1d sees only real (ragged) nodes; with our
+    padded layout the batch statistics must exclude padding.
+    """
+    features: int
+    momentum: float = 0.99
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, use_running_average: bool = True):
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros(self.features, jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            if valid is None:
+                red = tuple(range(x.ndim - 1))
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.var(xf, axis=red)
+            else:
+                w = valid.astype(jnp.float32)[..., None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                mean = jnp.sum(xf * w, axis=tuple(range(x.ndim - 1))) / n
+                var = jnp.sum(w * (xf - mean) ** 2,
+                              axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+class Norm(nn.Module):
+    """Post-conv norm factory ~ get_norm_layer
+    (models/layers/octformer_layers.py:22-35). 'layernorm' is what every
+    shipped config uses; 'batchnorm' masks out padding nodes."""
+    features: int
+    kind: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, train: bool = False):
+        if self.kind == "layernorm":
+            return nn.LayerNorm(dtype=self.dtype)(x)
+        elif self.kind == "batchnorm":
+            return MaskedBatchNorm(self.features, dtype=self.dtype)(
+                x, valid, use_running_average=not train)
+        elif self.kind == "powernorm":
+            # PowerNorm (models/layers/mask_powernorm.py): normalise by the
+            # running second moment instead of batch variance.
+            return PowerNorm(self.features, dtype=self.dtype)(
+                x, valid, use_running_average=not train)
+        raise ValueError(f"unknown norm kind {self.kind}")
+
+
+class PowerNorm(nn.Module):
+    """MaskPowerNorm equivalent: x / sqrt(running E[x^2]) * g + b.
+
+    Simplified from /root/reference/models/layers/mask_powernorm.py:97-180
+    (not used by any shipped config; provided for feature parity).
+    """
+    features: int
+    momentum: float = 0.99
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, valid=None, use_running_average: bool = True):
+        ra_m2 = self.variable("batch_stats", "m2",
+                              lambda: jnp.ones(self.features, jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xf = x.astype(jnp.float32)
+        if use_running_average:
+            m2 = ra_m2.value
+        else:
+            if valid is None:
+                m2 = jnp.mean(xf * xf, axis=tuple(range(x.ndim - 1)))
+            else:
+                w = valid.astype(jnp.float32)[..., None]
+                n = jnp.maximum(jnp.sum(w), 1.0)
+                m2 = jnp.sum(xf * xf * w,
+                             axis=tuple(range(x.ndim - 1))) / n
+            if not self.is_initializing():
+                mom = self.momentum
+                ra_m2.value = mom * ra_m2.value + (1 - mom) * m2
+        y = xf * jax.lax.rsqrt(m2 + self.eps)
+        return (y * scale + bias).astype(self.dtype)
+
+
+conv_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in",
+                                                    "truncated_normal")
+
+
+class OctreeConvNormRelu(nn.Module):
+    """Stride-1 octree conv + norm + ReLU
+    (models/layers/octformer_layers.py:80-99)."""
+    out_channels: int
+    taps: int = 27
+    conv_norm: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, neigh, valid=None, train: bool = False):
+        w = self.param("kernel", conv_kernel_init,
+                       (self.taps, x.shape[-1], self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = oconv.octree_conv(x, neigh, w.astype(self.dtype),
+                              b.astype(self.dtype))
+        y = Norm(self.out_channels, self.conv_norm, self.dtype)(
+            y, valid, train)
+        return nn.relu(y)
+
+
+class OctreeDownConvNormRelu(nn.Module):
+    """Kernel-[2] stride-2 conv + norm + ReLU (stem downsample)."""
+    out_channels: int
+    conv_norm: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, children, valid=None, train: bool = False):
+        w = self.param("kernel", conv_kernel_init,
+                       (8, x.shape[-1], self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = oconv.octree_down_conv(x, children, w.astype(self.dtype),
+                                   b.astype(self.dtype))
+        y = Norm(self.out_channels, self.conv_norm, self.dtype)(
+            y, valid, train)
+        return nn.relu(y)
+
+
+class Downsample(nn.Module):
+    """Inter-stage downsample: kernel-[2] stride-2 conv + norm, no ReLU
+    (models/octformer_backbone.py:456-469)."""
+    out_channels: int
+    conv_norm: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, children, valid=None, train: bool = False):
+        w = self.param("kernel", conv_kernel_init,
+                       (8, x.shape[-1], self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = oconv.octree_down_conv(x, children, w.astype(self.dtype),
+                                   b.astype(self.dtype))
+        return Norm(self.out_channels, self.conv_norm, self.dtype)(
+            y, valid, train)
+
+
+class CPE(nn.Module):
+    """Conditional positional encoding: depthwise octree conv + norm
+    (models/layers/octformer_layers.py:122-142). ``xcpe=True`` swaps the
+    dwconv for a full conv + linear (PointTransformerV3 style)."""
+    dim: int
+    conv_norm: str = "layernorm"
+    xcpe: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, neigh, valid=None, train: bool = False):
+        if self.xcpe:
+            w = self.param("kernel", conv_kernel_init,
+                           (27, self.dim, self.dim))
+            b = self.param("bias", nn.initializers.zeros, (self.dim,))
+            y = oconv.octree_conv(x, neigh, w.astype(self.dtype),
+                                  b.astype(self.dtype))
+            y = dense(self.dim, self.dtype, name="linear")(y)
+        else:
+            w = self.param("dw_kernel", conv_kernel_init, (27, self.dim, 1))
+            y = oconv.octree_dwconv(x, neigh,
+                                    w[..., 0].astype(self.dtype))
+        return Norm(self.dim, self.conv_norm, self.dtype)(y, valid, train)
+
+
+class RPE(nn.Module):
+    """Relative position bias (models/layers/octformer_layers.py:144-174).
+
+    Table of 3*(2*pos_bnd+1) rows x heads; per-axis lookups summed over
+    x/y/z. pos_bnd = int(0.8 * patch_size * sqrt(dilation)).
+    """
+    patch_size: int
+    num_heads: int
+    dilation: int = 1
+    dtype: Dtype = jnp.float32
+
+    @property
+    def pos_bnd(self) -> int:
+        return int(0.8 * self.patch_size * self.dilation**0.5)
+
+    @nn.compact
+    def __call__(self, rel_pos):
+        # rel_pos: (B, W, K, K, 3) int32 -> (B, W, H, K, K) bias
+        bnd = self.pos_bnd
+        num = 2 * bnd + 1
+        table = self.param("rpe_table", trunc_normal(0.02),
+                           (3 * num, self.num_heads))
+        idx = jnp.clip(rel_pos, -bnd, bnd) + bnd
+        idx = idx + jnp.arange(3, dtype=jnp.int32) * num
+        out = jnp.take(table.astype(self.dtype), idx, axis=0)
+        out = jnp.sum(out, axis=-2)  # sum over xyz -> (B, W, K, K, H)
+        return jnp.moveaxis(out, -1, 2)
+
+
+class ADaPE(nn.Module):
+    """Absolute distribution-aware position encoding: MLP over window
+    mean/cov stats (models/layers/octformer_layers.py:177-210)."""
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stats, deterministic: bool = True):
+        return Mlp(self.dim, self.dim, 0.0, self.dtype)(
+            stats.astype(self.dtype), deterministic)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth.
+
+    The reference's OctreeDropPath
+    (models/layers/octformer_layers.py:213-289) spends most of its code
+    resolving which batch element each ragged token belongs to; with the
+    per-sample layout the batch axis is axis 0 and this collapses to the
+    classic timm formulation.
+    """
+    rate: float
+    scale_by_keep: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate <= 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("droppath")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+        if self.scale_by_keep:
+            mask = mask / keep
+        return x * mask

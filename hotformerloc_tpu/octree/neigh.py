@@ -44,6 +44,25 @@ def kernel_offsets(kernel: str) -> np.ndarray:
     return grid.reshape(-1, 3).astype(np.int32)
 
 
+def _binary_search(sorted_keys: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Lower-bound binary search, unrolled to log2(N) vectorised steps.
+
+    jnp.searchsorted's 'sort'/'scan' strategies compile poorly under
+    vmap on this workload; an explicit unrolled bisection is a handful
+    of gathers + compares that XLA fuses cleanly on TPU.
+    """
+    n = sorted_keys.shape[0]
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+    steps = max(1, (n + 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        pred = sorted_keys[jnp.minimum(mid, n - 1)] < v
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred, hi, mid)
+    return lo
+
+
 def _lookup_keys(sorted_keys: jnp.ndarray, query: jnp.ndarray,
                  count: jnp.ndarray) -> jnp.ndarray:
     """Find each query key in one sample's sorted key array.
@@ -53,7 +72,7 @@ def _lookup_keys(sorted_keys: jnp.ndarray, query: jnp.ndarray,
     """
     n = sorted_keys.shape[0]
     flat = query.reshape(-1)
-    idx = jnp.searchsorted(sorted_keys, flat, method="sort").astype(jnp.int32)
+    idx = _binary_search(sorted_keys, flat)
     idx_c = jnp.minimum(idx, n - 1)
     hit = (sorted_keys[idx_c] == flat) & (idx_c < count) & (flat < SENTINEL)
     return jnp.where(hit, idx_c, -1).reshape(query.shape)

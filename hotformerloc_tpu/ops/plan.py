@@ -1,0 +1,59 @@
+"""Precomputed gather tables + per-level context for a forward pass.
+
+The static-shape analogue of `OctreeT.build_t`
+(/root/reference/models/octree.py:95-111): everything the transformer
+needs per depth, computed once per batch inside jit. Unlike the
+reference (which materialises every attention mask / relative-position
+tensor up front), we keep the plan lean — masks and rel-pos derive
+cheaply from node validity and coords inside the modules, letting XLA
+fuse them into the attention kernels.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+from hotformerloc_tpu.octree.build import BatchedOctree
+from hotformerloc_tpu.octree.neigh import child_table, neigh_table
+
+
+@struct.dataclass
+class LevelCtx:
+    """Per-depth context handed to transformer blocks."""
+    depth: int = struct.field(pytree_node=False)
+    node_valid: jnp.ndarray     # (B, N) bool
+    xyz: jnp.ndarray            # (B, N, 3) int32 voxel coords
+    neigh: jnp.ndarray          # (B, N, 27) stride-1 gather table
+
+
+@struct.dataclass
+class OctreePlan:
+    """BatchedOctree + all gather tables the model consumes."""
+    octree: BatchedOctree
+    neighs: Tuple[jnp.ndarray, ...]               # per level, (B, N_d, 27)
+    childrens: Tuple[Optional[jnp.ndarray], ...]  # per level d, (B, N_{d-1}, 8)
+
+    def level_ctx(self, d: int) -> LevelCtx:
+        lev = self.octree.level(d)
+        return LevelCtx(depth=d, node_valid=self.octree.node_valid(d),
+                        xyz=self.octree.xyz(d), neigh=self.neighs[lev])
+
+    def children(self, d: int) -> jnp.ndarray:
+        """Gather table pulling depth-d children into depth-(d-1) parents."""
+        c = self.childrens[self.octree.level(d)]
+        assert c is not None
+        return c
+
+
+def build_plan(octree: BatchedOctree) -> OctreePlan:
+    """Compute neighbour + child tables for every materialised depth."""
+    neighs = []
+    childrens = []
+    for d in range(octree.min_depth, octree.depth + 1):
+        neighs.append(neigh_table(octree, d, "333"))
+        childrens.append(child_table(octree, d) if d > octree.min_depth
+                         else None)
+    return OctreePlan(octree=octree, neighs=tuple(neighs),
+                      childrens=tuple(childrens))

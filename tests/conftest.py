@@ -6,8 +6,18 @@ the multi-chip path.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # env presets axon (TPU); tests must run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# Something in this image pre-imports jax and pins jax_platforms to
+# "axon,cpu"; the env var alone is ignored. Override the live config.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,119 @@
+"""End-to-end model tests: forward shape, determinism, masking invariance.
+
+The masking-invariance test is the key correctness property of the
+static-capacity layout: adding padding (invalid) nodes must never change
+a sample's descriptor.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hotformerloc_tpu.models.config import tiny_test_config
+from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc, param_count
+
+
+def _points(rng, B, P, scale=1.0):
+    return rng.uniform(-scale, scale, size=(B, P, 3)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = tiny_test_config()
+    model = HOTFormerLoc(cfg)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+    mask = jnp.ones(pts.shape[:2], dtype=bool)
+    params = model.init(jax.random.PRNGKey(0), pts, mask)
+    return cfg, model, params
+
+
+class TestForward:
+    def test_output_shape_and_norm(self, model_and_params):
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(_points(rng, 3, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        out = model.apply(params, pts, mask)
+        g = np.asarray(out["global"])
+        assert g.shape == (3, cfg.output_dim)
+        assert np.all(np.isfinite(g))
+        np.testing.assert_allclose(np.linalg.norm(g, axis=1), 1.0, rtol=1e-5)
+
+    def test_jit_deterministic(self, model_and_params):
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        f = jax.jit(lambda p, x, m: model.apply(p, x, m))
+        a = np.asarray(f(params, pts, mask)["global"])
+        b = np.asarray(f(params, pts, mask)["global"])
+        np.testing.assert_array_equal(a, b)
+
+    def test_padding_invariance(self, model_and_params):
+        # A sample evaluated alone must produce the same descriptor as
+        # the same sample with extra masked-out points.
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(3)
+        P = cfg.num_points
+        pts_real = _points(rng, 1, P // 2)
+        pts_a = np.concatenate([pts_real,
+                                np.zeros((1, P - P // 2, 3), np.float32)], 1)
+        mask_a = np.concatenate([np.ones((1, P // 2), bool),
+                                 np.zeros((1, P - P // 2), bool)], 1)
+        # Same real points but the padding region filled with garbage.
+        pts_b = np.concatenate([pts_real, _points(rng, 1, P - P // 2)], 1)
+        ga = np.asarray(model.apply(params, jnp.asarray(pts_a),
+                                    jnp.asarray(mask_a))["global"])
+        gb = np.asarray(model.apply(params, jnp.asarray(pts_b),
+                                    jnp.asarray(mask_a))["global"])
+        np.testing.assert_allclose(ga, gb, rtol=1e-4, atol=1e-5)
+
+    def test_batch_independence(self, model_and_params):
+        # Per-sample layout: descriptors must not depend on batch peers.
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(4)
+        pts = _points(rng, 2, cfg.num_points)
+        mask = np.ones(pts.shape[:2], bool)
+        both = np.asarray(model.apply(params, jnp.asarray(pts),
+                                      jnp.asarray(mask))["global"])
+        solo = np.asarray(model.apply(params, jnp.asarray(pts[:1]),
+                                      jnp.asarray(mask[:1]))["global"])
+        np.testing.assert_allclose(both[0], solo[0], rtol=1e-4, atol=1e-5)
+
+    def test_train_mode_stochastic(self, model_and_params):
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        rngs = {"dropout": jax.random.PRNGKey(1),
+                "droppath": jax.random.PRNGKey(2)}
+        a = model.apply(params, pts, mask, deterministic=False, train=False,
+                        rngs=rngs)["global"]
+        rngs2 = {"dropout": jax.random.PRNGKey(3),
+                 "droppath": jax.random.PRNGKey(4)}
+        b = model.apply(params, pts, mask, deterministic=False, train=False,
+                        rngs=rngs2)["global"]
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+
+    def test_param_count_reasonable(self, model_and_params):
+        cfg, model, params = model_and_params
+        n = param_count(params)
+        assert 1e5 < n < 5e7
+
+    def test_gradients_finite(self, model_and_params):
+        cfg, model, params = model_and_params
+        rng = np.random.default_rng(6)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+
+        def loss(p):
+            g = model.apply(p, pts, mask)["global"]
+            return jnp.sum(g * g)
+
+        grads = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+        # at least 90% of leaves get nonzero gradient signal
+        nz = [np.any(np.asarray(l) != 0) for l in leaves]
+        assert np.mean(nz) > 0.9
