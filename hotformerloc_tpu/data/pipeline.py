@@ -1,0 +1,154 @@
+"""Host-side dataset + batch assembly feeding the on-device octree build.
+
+Replaces the reference's DataLoader/collate stack
+(/root/reference/datasets/dataset_utils.py:33-172), which builds ocnn
+octrees on CPU workers. Our device builds octrees itself, so the host
+only loads clouds, augments, clips to [-1, 1], and packs them into
+fixed-shape (B, P, 3) arrays with point-validity masks — a far lighter
+host pipeline that cannot starve the TPU.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import queue as queue_mod
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from hotformerloc_tpu.data.augmentation import (CylindricalCoordinates,
+                                                Compose)
+from hotformerloc_tpu.data.loaders import PointCloudLoader
+from hotformerloc_tpu.data.sampler import BatchSampler, masks_for_batch
+from hotformerloc_tpu.data.tuples import TrainingTuple, load_training_queries
+
+
+def clip_to_unit_box(pc: np.ndarray,
+                     cylindrical: bool = False) -> np.ndarray:
+    """Drop points outside [-1, 1]^3 (and outside unit xy-radius when
+    converting to cylindrical), as at
+    /root/reference/datasets/base_datasets.py:75-84."""
+    m = np.all(np.abs(pc) <= 1.0, axis=1)
+    pc = pc[m]
+    if cylindrical:
+        pc = pc[np.linalg.norm(pc[:, :2], axis=1) <= 1.0]
+    return pc
+
+
+def pack_clouds(clouds: List[np.ndarray], num_points: int,
+                rng: Optional[np.random.Generator] = None
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack variable-size clouds into (B, P, 3) + (B, P) validity.
+
+    Clouds larger than the static point budget are randomly subsampled
+    (uniform, deterministic given rng); smaller ones are zero-padded and
+    masked.
+    """
+    B = len(clouds)
+    pts = np.zeros((B, num_points, 3), dtype=np.float32)
+    msk = np.zeros((B, num_points), dtype=bool)
+    for i, c in enumerate(clouds):
+        n = len(c)
+        if n > num_points:
+            sel = (rng.choice(n, num_points, replace=False)
+                   if rng is not None else
+                   np.linspace(0, n - 1, num_points).astype(np.int64))
+            c = c[sel]
+            n = num_points
+        pts[i, :n] = c
+        msk[i, :n] = True
+    return pts, msk
+
+
+class TrainingDataset:
+    """Pickle-tuple-indexed dataset
+    (/root/reference/datasets/base_datasets.py:44-90)."""
+
+    def __init__(self, dataset_path: str, query_filename: str,
+                 pc_loader: PointCloudLoader,
+                 transform: Optional[Compose] = None,
+                 set_transform: Optional[Compose] = None,
+                 coordinates: str = "cartesian"):
+        assert os.path.exists(dataset_path), \
+            f"Cannot access dataset path: {dataset_path}"
+        self.dataset_path = dataset_path
+        self.queries: Dict[int, TrainingTuple] = load_training_queries(
+            os.path.join(dataset_path, query_filename))
+        self.pc_loader = pc_loader
+        self.transform = transform
+        self.set_transform = set_transform
+        self.coordinates = coordinates
+        self._coord = CylindricalCoordinates() \
+            if coordinates == "cylindrical" else None
+
+    def __len__(self):
+        return len(self.queries)
+
+    def load_cloud(self, ndx: int, rng: np.random.Generator) -> np.ndarray:
+        path = os.path.join(self.dataset_path,
+                            self.queries[ndx].rel_scan_filepath)
+        pc = self.pc_loader(path).astype(np.float32)
+        if self.transform is not None:
+            pc = self.transform(pc, rng)
+        return pc
+
+    def finalize_cloud(self, pc: np.ndarray) -> np.ndarray:
+        pc = clip_to_unit_box(pc, self.coordinates == "cylindrical")
+        if self._coord is not None:
+            pc = self._coord(pc)
+        return pc
+
+    def make_batch(self, labels: List[int], num_points: int,
+                   rng: np.random.Generator):
+        clouds = [self.load_cloud(l, rng) for l in labels]
+        if self.set_transform is not None:
+            # same batch-level transform instance+draw for all clouds
+            merged = np.concatenate(clouds, axis=0)
+            merged = self.set_transform(merged, rng)
+            sizes = np.cumsum([len(c) for c in clouds])[:-1]
+            clouds = np.split(merged, sizes, axis=0)
+        clouds = [self.finalize_cloud(c) for c in clouds]
+        pts, msk = pack_clouds(clouds, num_points, rng)
+        pos, neg = masks_for_batch(self.queries, labels)
+        return {"points": pts, "pmask": msk,
+                "positives_mask": pos, "negatives_mask": neg}
+
+
+class DataLoader:
+    """Epoch iterator with background prefetch (double-buffered thread),
+    so host batch assembly overlaps device compute."""
+
+    def __init__(self, dataset: TrainingDataset, sampler: BatchSampler,
+                 num_points: int, seed: int = 0, prefetch: int = 2):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.num_points = num_points
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self.sampler.generate_batches()
+        rng = np.random.default_rng(self.seed + self.epoch)
+        self.epoch += 1
+        q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for labels in batches:
+                    q.put(self.dataset.make_batch(labels, self.num_points,
+                                                  rng))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+    def __len__(self):
+        return len(self.sampler.generate_batches())

@@ -1,0 +1,55 @@
+"""Evaluation CLI (~ /root/reference/eval/pnv_evaluate.py:314-370).
+
+Usage:
+  python -m hotformerloc_tpu.evaluation.pnv_evaluate --config ... \
+      --model_config ... --weights weights/.../model_best.ckpt
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from hotformerloc_tpu.config.params import parse_train_config
+from hotformerloc_tpu.evaluation.evaluate import (evaluate, print_eval_stats,
+                                                  write_eval_stats)
+from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc
+from hotformerloc_tpu.training.optim import lr_schedule, make_optimizer
+from hotformerloc_tpu.training.step import init_train_state, make_embed_step
+from hotformerloc_tpu.training.trainer import load_checkpoint
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--model_config", required=True)
+    ap.add_argument("--weights", default=None,
+                    help="orbax checkpoint directory")
+    ap.add_argument("--debug", action="store_true",
+                    help="random embeddings, protocol smoke test")
+    ap.add_argument("--num_points", type=int, default=4096)
+    args = ap.parse_args()
+
+    params = parse_train_config(args.config, args.model_config,
+                                debug=args.debug,
+                                num_points=args.num_points)
+    cfg = params.model_params.config
+    model = HOTFormerLoc(cfg, dtype=jnp.bfloat16)
+    tx = make_optimizer("adam", lr_schedule(1e-3, 1, 1))
+    example = {"points": jnp.zeros((2, cfg.num_points, 3), jnp.float32),
+               "pmask": jnp.ones((2, cfg.num_points), bool)}
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), example)
+    if args.weights:
+        state, _, _ = load_checkpoint(args.weights, state)
+    embed = make_embed_step(model)
+
+    stats = evaluate(lambda p, m: embed(state, p, m), params,
+                     debug=args.debug)
+    print_eval_stats(stats)
+    prefix = f"{args.model_config}, {args.weights}"
+    write_eval_stats(f"pnv_{params.dataset_name}_results.txt", prefix, stats)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,8 +170,10 @@ class HOTFormerStage(nn.Module):
         # ---- RTSA + H-OSA loop ----------------------------------------
         RTBlock, HBlock = RelayTokenBlock, HOTFormerBlock
         if c.grad_checkpoint:
-            RTBlock = nn.remat(RelayTokenBlock, static_argnums=(2,))
-            HBlock = nn.remat(HOTFormerBlock, static_argnums=(3, 4))
+            # flax nn.remat passes the module as arg 0, so call-arg
+            # indices are offset by 1.
+            RTBlock = nn.remat(RelayTokenBlock, static_argnums=(3,))
+            HBlock = nn.remat(HOTFormerBlock, static_argnums=(4, 5))
         for i, dp in enumerate(self.drop_paths):
             rt_comb = RTBlock(max_ch, max_heads, c.mlp_ratio, dp,
                               c.layer_scale, c.proj_drop, c.attn_drop,

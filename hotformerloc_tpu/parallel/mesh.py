@@ -1,0 +1,43 @@
+"""Device mesh + sharding helpers for data-parallel training.
+
+The reference has no distributed layer at all (SURVEY.md §2.10: no
+torch.distributed / NCCL anywhere); large batches are emulated on one
+GPU. Here data parallelism is native: a 1-D 'data' mesh, batch tensors
+sharded on axis 0, parameters replicated. The metric losses consume the
+full (B, B) affinity matrix, so XLA inserts the embedding all-gather
+over ICI automatically — global batch-hard mining across the whole
+slice comes for free from the sharding annotations.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    # Auto axis type: let XLA propagate shardings (jax>=0.7 defaults to
+    # Explicit, which rejects sharding-changing reshapes in our
+    # microbatch split).
+    return jax.make_mesh((len(devices),), (DATA_AXIS,), devices=devices,
+                         axis_types=(jax.sharding.AxisType.Auto,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data mesh axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device_put a host pytree with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,211 @@
+"""Jitted training / embedding steps, including multistage large-batch
+backprop and MESA (EMA distillation).
+
+The reference emulates batch 2048 on one GPU with a three-stage
+manual-chain-rule loop in Python
+(/root/reference/training/trainer.py:287-365). Here the same algorithm
+is a single XLA program: lax.scan over microbatches for the no-grad
+embedding pass, loss + embedding-gradient on the full batch, then a
+scanned VJP pass accumulating parameter gradients. Combined with the
+data mesh this scales the global batch both across chips (DP) and in
+per-chip memory (microbatching), with remat inside each block.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from hotformerloc_tpu.losses.losses import kd_loss
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Optional[Any] = None
+    model_state: Any = struct.field(default_factory=dict)  # batch_stats etc.
+
+
+@dataclasses.dataclass(frozen=True)
+class StepConfig:
+    accum_steps: int = 1          # microbatches per step (multistage BP)
+    ema_decay: float = 0.9998     # ModelEmaV3 decay (trainer.py:160-163)
+    mesa: float = 0.0             # MESA weight; > 0 enables distillation
+    use_ema: bool = False
+
+
+def init_train_state(model, tx, rng, example_batch,
+                     use_ema: bool = False) -> TrainState:
+    points, pmask = example_batch["points"], example_batch["pmask"]
+    variables = model.init(rng, points, pmask)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=tx.init(params),
+                      ema_params=params if use_ema else None,
+                      model_state=model_state)
+
+
+def _apply(model, params, model_state, points, pmask, rngs, train: bool):
+    variables = {"params": params, **model_state}
+    if train:
+        mutable = list(model_state.keys())
+        if mutable:
+            out, new_state = model.apply(variables, points, pmask,
+                                         deterministic=False, train=True,
+                                         rngs=rngs, mutable=mutable)
+            return out["global"], new_state
+        out = model.apply(variables, points, pmask, deterministic=False,
+                          train=True, rngs=rngs)
+        return out["global"], model_state
+    out = model.apply(variables, points, pmask)
+    return out["global"], model_state
+
+
+def make_train_step(model, tx, loss_fn: Callable,
+                    cfg: StepConfig = StepConfig()):
+    """Build the jitted train step:
+    (state, batch, rng) -> (state, stats).
+
+    batch: {'points': (B, P, 3), 'pmask': (B, P),
+            'positives_mask': (B, B), 'negatives_mask': (B, B)}.
+    """
+
+    def mb_rngs(rng, i):
+        k = jax.random.fold_in(rng, i)
+        kd_, kp_ = jax.random.split(k)
+        return {"dropout": kd_, "droppath": kp_}
+
+    def single_pass_step(state: TrainState, batch, rng):
+        pts, msk = batch["points"], batch["pmask"]
+
+        def loss_of(params):
+            emb, new_state = _apply(model, params, state.model_state, pts,
+                                    msk, mb_rngs(rng, 0), True)
+            loss, stats = loss_fn(emb, batch["positives_mask"],
+                                  batch["negatives_mask"])
+            if cfg.mesa > 0.0 and state.ema_params is not None:
+                t_emb, _ = _apply(model, state.ema_params,
+                                  state.model_state, pts, msk, None, False)
+                loss = loss + cfg.mesa * kd_loss(
+                    emb, jax.lax.stop_gradient(t_emb))
+            return loss, (stats, new_state)
+
+        grads, (stats, new_state) = jax.grad(loss_of, has_aux=True)(
+            state.params)
+        return _finish(state, grads, stats, new_state)
+
+    def multistage_step(state: TrainState, batch, rng):
+        A = cfg.accum_steps
+        pts, msk = batch["points"], batch["pmask"]
+        B = pts.shape[0]
+        mb = B // A
+        # Each microbatch must stay sharded over the data axis; keep the
+        # microbatch index replicated and the sample axis distributed.
+        from hotformerloc_tpu.parallel.mesh import DATA_AXIS
+        from jax.sharding import PartitionSpec
+
+        def r(x):
+            y = x.reshape(A, mb, *x.shape[1:])
+            try:
+                return jax.lax.with_sharding_constraint(
+                    y, PartitionSpec(None, DATA_AXIS))
+            except Exception:
+                # no mesh in context (single-device / no set_mesh path):
+                # leave layout to XLA's auto sharding propagation
+                return y
+
+        pts_s, msk_s = r(pts), r(msk)
+        idx = jnp.arange(A)
+
+        def fwd(params, p, m, i):
+            emb, new_state = _apply(model, params, state.model_state, p, m,
+                                    mb_rngs(rng, i), True)
+            return emb, new_state
+
+        # Stage 1 — embeddings without parameter gradients.
+        def s1(carry, xs):
+            p, m, i = xs
+            emb, new_state = fwd(state.params, p, m, i)
+            if cfg.mesa > 0.0 and state.ema_params is not None:
+                t_emb, _ = _apply(model, state.ema_params,
+                                  state.model_state, p, m, None, False)
+            else:
+                t_emb = jnp.zeros_like(emb)
+            return new_state, (emb, t_emb)
+
+        new_state, (embs, t_embs) = jax.lax.scan(
+            s1, state.model_state, (pts_s, msk_s, idx))
+        embs = embs.reshape(B, -1)
+
+        # Stage 2 — loss over the full batch, gradient w.r.t. embeddings.
+        def loss_of_emb(emb):
+            loss, stats = loss_fn(emb, batch["positives_mask"],
+                                  batch["negatives_mask"])
+            if cfg.mesa > 0.0 and state.ema_params is not None:
+                loss = loss + cfg.mesa * kd_loss(emb, t_embs.reshape(B, -1))
+            return loss, stats
+
+        (_, stats), g_emb = jax.value_and_grad(
+            loss_of_emb, has_aux=True)(embs)
+        g_emb = g_emb.reshape(A, mb, -1)
+
+        # Stage 3 — recompute per microbatch, chain-rule into params.
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def s3(acc, xs):
+            p, m, i, g = xs
+            _, vjp = jax.vjp(lambda prm: fwd(prm, p, m, i)[0], state.params)
+            (gi,) = vjp(g)
+            return jax.tree_util.tree_map(jnp.add, acc, gi), None
+
+        grads, _ = jax.lax.scan(s3, zero_grads, (pts_s, msk_s, idx, g_emb))
+        return _finish(state, grads, stats, new_state)
+
+    def _finish(state, grads, stats, new_state):
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if cfg.use_ema and ema is not None:
+            d = cfg.ema_decay
+            ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p, ema, params)
+        stats = dict(stats)
+        stats["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params,
+                          opt_state=opt_state, ema_params=ema,
+                          model_state=new_state), stats
+
+    step = single_pass_step if cfg.accum_steps <= 1 else multistage_step
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model, loss_fn: Callable):
+    """Validation step: embeddings + loss stats, no grads."""
+
+    def eval_step(state: TrainState, batch):
+        emb, _ = _apply(model, state.params, state.model_state,
+                        batch["points"], batch["pmask"], None, False)
+        _, stats = loss_fn(emb, batch["positives_mask"],
+                           batch["negatives_mask"])
+        return stats
+
+    return jax.jit(eval_step)
+
+
+def make_embed_step(model):
+    """Inference: points -> descriptors (eval / retrieval path)."""
+
+    def embed(state: TrainState, points, pmask):
+        emb, _ = _apply(model, state.params, state.model_state, points,
+                        pmask, None, False)
+        return emb
+
+    return jax.jit(embed)

@@ -1,0 +1,222 @@
+"""Data-pipeline + evaluation-protocol tests on synthetic on-disk
+datasets (tiny PNV-format .bin clouds + reference-format pickles)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from hotformerloc_tpu.data.augmentation import (CylindricalCoordinates,
+                                                Normalize, RandomFlip,
+                                                RandomRotation,
+                                                make_set_transform,
+                                                make_train_transform)
+from hotformerloc_tpu.data.loaders import (PNVPointCloudLoader, read_pcd)
+from hotformerloc_tpu.data.pipeline import (DataLoader, TrainingDataset,
+                                            pack_clouds)
+from hotformerloc_tpu.data.sampler import BatchSampler, masks_for_batch
+from hotformerloc_tpu.data.tuples import (TrainingTuple,
+                                          load_training_queries)
+from hotformerloc_tpu.evaluation.evaluate import (get_recall, retrieval_topk)
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """8 locations x 2 passes; same-location scans are positives."""
+    root = tmp_path_factory.mktemp("pnv")
+    rng = np.random.default_rng(0)
+    queries = {}
+    n_loc, k = 8, 2
+    for loc in range(n_loc):
+        base = rng.uniform(-0.9, 0.9, (512, 3))
+        for pass_i in range(k):
+            i = loc * k + pass_i
+            pc = base + rng.normal(0, 0.01, base.shape)
+            rel = f"scan_{i:03d}.bin"
+            pc.astype(np.float64).tofile(root / rel)
+            sibling = loc * k + (1 - pass_i)
+            queries[i] = TrainingTuple(
+                id=i, timestamp=i, rel_scan_filepath=rel,
+                positives=np.array([sibling]),
+                non_negatives=np.array(sorted([i, sibling])),
+                position=np.array([float(loc), 0.0]))
+    with open(root / "train_queries.pickle", "wb") as f:
+        pickle.dump(queries, f)
+    return str(root), queries
+
+
+class TestLoaders:
+    def test_pnv_bin_roundtrip(self, synth_dataset):
+        root, _ = synth_dataset
+        pc = PNVPointCloudLoader()(os.path.join(root, "scan_000.bin"))
+        assert pc.shape == (512, 3) and pc.dtype == np.float32
+
+    def test_pcd_ascii_and_binary(self, tmp_path):
+        pts = np.random.default_rng(1).uniform(-1, 1, (20, 3)) \
+            .astype(np.float32)
+        # ascii
+        pa = tmp_path / "a.pcd"
+        with open(pa, "w") as f:
+            f.write("VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    "COUNT 1 1 1\nWIDTH 20\nHEIGHT 1\n"
+                    "VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 20\nDATA ascii\n")
+            for p in pts:
+                f.write(f"{p[0]} {p[1]} {p[2]}\n")
+        np.testing.assert_allclose(read_pcd(str(pa)), pts, rtol=1e-5)
+        # binary
+        pb = tmp_path / "b.pcd"
+        with open(pb, "wb") as f:
+            f.write(b"VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                    b"COUNT 1 1 1\nWIDTH 20\nHEIGHT 1\n"
+                    b"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS 20\nDATA binary\n")
+            f.write(pts.astype("<f4").tobytes())
+        np.testing.assert_allclose(read_pcd(str(pb)), pts, rtol=1e-6)
+
+
+class TestAugmentation:
+    def test_rotation_preserves_norms(self):
+        rng = np.random.default_rng(2)
+        pc = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+        out = RandomRotation(axis=np.array([0., 0., 1.]),
+                             max_theta=180)(pc, rng)
+        np.testing.assert_allclose(np.linalg.norm(out, axis=1),
+                                   np.linalg.norm(pc, axis=1), rtol=1e-4)
+        np.testing.assert_allclose(out[:, 2], pc[:, 2], atol=1e-5)
+
+    def test_flip_axes(self):
+        rng = np.random.default_rng(3)
+        pc = np.ones((10, 3), np.float32)
+        out = RandomFlip([1.0, 0.0, 0.0])(pc, rng)
+        np.testing.assert_allclose(out[:, 0], -1.0)
+
+    def test_normalize_box(self):
+        rng = np.random.default_rng(4)
+        pc = rng.uniform(-30, 30, (200, 3)).astype(np.float32)
+        out = Normalize()(pc)
+        assert np.abs(out).max() <= 1.0 + 1e-5
+
+    def test_normalize_sphere(self):
+        rng = np.random.default_rng(5)
+        pc = rng.uniform(-30, 30, (200, 3)).astype(np.float32)
+        out = Normalize(unit_sphere_norm=True)(pc)
+        assert np.linalg.norm(out, axis=1).max() <= 1.0 + 1e-5
+
+    def test_cylindrical_range(self):
+        rng = np.random.default_rng(6)
+        pc = rng.uniform(-1, 1, (300, 3)).astype(np.float32)
+        pc = pc[np.linalg.norm(pc[:, :2], axis=1) <= 1.0]
+        out = CylindricalCoordinates()(pc)
+        assert np.abs(out).max() <= 1.0
+
+    def test_pipelines_build(self):
+        rng = np.random.default_rng(7)
+        pc = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+        for mode in (0, 1, 2):
+            t = make_train_transform(mode, random_rot_theta=180)
+            out = t(pc.copy(), rng)
+            assert out.shape[1] == 3
+        for mode in (0, 1, 2):
+            st = make_set_transform(mode)
+            if st is not None:
+                st(pc.copy(), rng)
+
+
+class TestSampler:
+    def test_k2_structure(self, synth_dataset):
+        _, queries = synth_dataset
+        s = BatchSampler(queries, batch_size=8, seed=0)
+        batches = s.generate_batches()
+        assert all(len(b) % 2 == 0 for b in batches)
+        for b in batches:
+            for i in range(0, len(b), 2):
+                a, p = b[i], b[i + 1]
+                assert p in queries[a].positives or \
+                    a in queries[p].positives
+
+    def test_expansion(self, synth_dataset):
+        _, queries = synth_dataset
+        s = BatchSampler(queries, batch_size=4, batch_size_limit=12,
+                         batch_expansion_rate=2.0, seed=0)
+        assert s.expand_batch()
+        assert s.batch_size == 8
+        s.expand_batch()
+        assert s.batch_size == 12
+        assert not s.expand_batch()
+
+    def test_masks(self, synth_dataset):
+        _, queries = synth_dataset
+        labels = [0, 1, 2, 3]
+        pos, neg = masks_for_batch(queries, labels)
+        assert pos[0, 1] and pos[1, 0] and not pos[0, 0]
+        assert not pos[0, 2]
+        assert neg[0, 2] and neg[0, 3] and not neg[0, 1] and not neg[0, 0]
+
+
+class TestPipeline:
+    def test_batch_shapes_and_masks(self, synth_dataset):
+        root, queries = synth_dataset
+        ds = TrainingDataset(root, "train_queries.pickle",
+                             PNVPointCloudLoader(),
+                             make_train_transform(1), make_set_transform(1))
+        sampler = BatchSampler(queries, batch_size=8, seed=1)
+        dl = DataLoader(ds, sampler, num_points=512)
+        batch = next(iter(dl))
+        assert batch["points"].shape == (8, 512, 3)
+        assert batch["pmask"].shape == (8, 512)
+        assert batch["positives_mask"].shape == (8, 8)
+        assert batch["points"][batch["pmask"]].max() <= 1.0
+
+    def test_pack_subsample_and_pad(self):
+        rng = np.random.default_rng(8)
+        big = rng.uniform(-1, 1, (700, 3)).astype(np.float32)
+        small = rng.uniform(-1, 1, (100, 3)).astype(np.float32)
+        pts, msk = pack_clouds([big, small], 512, rng)
+        assert msk[0].sum() == 512 and msk[1].sum() == 100
+        assert np.all(pts[1, 100:] == 0)
+
+    def test_pickle_compat_loading(self, synth_dataset):
+        root, _ = synth_dataset
+        q = load_training_queries(os.path.join(root,
+                                               "train_queries.pickle"))
+        assert isinstance(q[0], TrainingTuple)
+        assert q[0].positives[0] == 1
+
+
+class TestRetrieval:
+    def test_topk_matches_bruteforce(self):
+        rng = np.random.default_rng(9)
+        q = rng.standard_normal((13, 16)).astype(np.float32)
+        db = rng.standard_normal((57, 16)).astype(np.float32)
+        dist, idx = retrieval_topk(q, db, 5)
+        from scipy.spatial.distance import cdist
+        d = cdist(q, db)
+        expect = np.argsort(d, axis=1)[:, :5]
+        np.testing.assert_array_equal(idx, expect)
+        np.testing.assert_allclose(dist, np.take_along_axis(d, expect, 1),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_get_recall_perfect_embeddings(self):
+        # database run 0, query run 1; query i's true neighbour is db i.
+        rng = np.random.default_rng(10)
+        base = rng.standard_normal((20, 8)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        db = [base]
+        qv = [None, base + 1e-4]
+        query_sets = [None, [{0: [i]} for i in range(20)]]
+        recall, opr, mrr = get_recall(0, 1, db, qv, query_sets, None)
+        assert recall[0] == 100.0
+        assert opr == 100.0
+        assert mrr == 100.0
+
+    def test_get_recall_rank2(self):
+        # swap two db entries so the true match is at rank 2 for 1 query
+        rng = np.random.default_rng(11)
+        base = rng.standard_normal((10, 8)).astype(np.float32)
+        db = [base]
+        q = base.copy()
+        q[0] = base[1] + 1e-3 * base[0]  # query 0 closest to db 1
+        qv = [None, q]
+        query_sets = [None, [{0: [i]} for i in range(10)]]
+        recall, opr, mrr = get_recall(0, 1, db, qv, query_sets, None)
+        assert recall[0] == 90.0
+        assert recall[1] >= 90.0
