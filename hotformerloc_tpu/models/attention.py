@@ -6,6 +6,11 @@ All attentions run as fixed-shape batched einsums that map straight onto
 the MXU; logits/softmax are computed in fp32 regardless of the compute
 dtype. Masking uses key-validity only — per-sample layout means no
 cross-batch leakage is possible.
+
+WindowAttention has two execution paths sharing identical parameters:
+the XLA einsum formulation, and the fused Pallas kernel
+(ops/pallas/window_attn.py) that never materialises logits or the RPE
+bias in HBM (`use_pallas=True`).
 """
 from __future__ import annotations
 
@@ -15,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from hotformerloc_tpu.models.layers import RPE, Dtype, dense, trunc_normal
+from hotformerloc_tpu.models.layers import Dtype, dense, trunc_normal
 from hotformerloc_tpu.ops.window import MASK_VALUE
 
 
@@ -34,12 +39,28 @@ def masked_softmax(logits: jnp.ndarray, key_mask: jnp.ndarray,
     return jax.nn.softmax(logits + add, axis=-1)
 
 
+def rpe_pos_bnd(patch_size: int, dilation: int) -> int:
+    """pos_bnd = int(0.8 * K * sqrt(D))
+    (models/layers/octformer_layers.py:155-156)."""
+    return int(0.8 * patch_size * dilation**0.5)
+
+
+def _pick_window_tile(bw: int, limit: int = 8) -> int:
+    for wt in (limit, 4, 2, 1):
+        if bw % wt == 0:
+            return wt
+    return 1
+
+
 class WindowAttention(nn.Module):
     """Windowed MHSA over (B, W, T, C) tokens, T = rt_per_window + K.
 
     With rt_per_window G > 0 this is HAT attention: G relay slots are
     prepended to each window and excluded from the RPE bias (zero-padded,
     as in apply_rpe, models/octformer_backbone.py:87-94).
+
+    Args to __call__: x (B, W, T, C); key_mask (B, W, T) bool; xyz_w
+    (B, W, K, 3) int32 window node coords (None disables RPE).
     """
     dim: int
     num_heads: int
@@ -50,32 +71,74 @@ class WindowAttention(nn.Module):
     attn_drop: float = 0.0
     proj_drop: float = 0.0
     qkv_bias: bool = True
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, key_mask, rel_pos=None, deterministic=True):
+    def __call__(self, x, key_mask, xyz_w=None, deterministic=True):
         B, W, T, C = x.shape
         H = self.num_heads
         G = self.rt_per_window
+        K = T - G
         hd = C // H
+        bnd = rpe_pos_bnd(self.patch_size, self.dilation)
+        use_rpe = self.use_rpe and xyz_w is not None
         qkv = dense(3 * C, self.dtype, use_bias=self.qkv_bias,
                     name="qkv")(x)
-        qkv = qkv.reshape(B, W, T, 3, H, hd)
-        q, k, v = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
-        scale = hd ** -0.5
-        logits = jnp.einsum("bwthd,bwshd->bwhts", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if self.use_rpe and rel_pos is not None:
-            bias = RPE(self.patch_size, H, self.dilation,
-                       self.dtype)(rel_pos)          # (B, W, H, K, K)
-            if G > 0:
-                bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
-                                      (G, 0), (G, 0)))
-            logits = logits + bias.astype(jnp.float32)
-        attn = masked_softmax(logits, key_mask, 2)   # broadcast over (h, t)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bwhts,bwshd->bwthd", attn.astype(self.dtype), v)
-        out = out.reshape(B, W, T, C)
+        table = None
+        if use_rpe:
+            table = self.param("rpe_table", trunc_normal(0.02),
+                               (3 * (2 * bnd + 1), H))
+
+        can_fuse = (self.use_pallas and
+                    (deterministic or (self.attn_drop == 0.0)))
+        if can_fuse:
+            from hotformerloc_tpu.ops.pallas.window_attn import \
+                fused_window_attention
+            qkv_f = qkv.reshape(B * W, T, 3, C)
+            q = qkv_f[:, :, 0]
+            k = qkv_f[:, :, 1]
+            v = qkv_f[:, :, 2]
+            if use_rpe:
+                xyz_p = jnp.moveaxis(xyz_w, 3, 2).reshape(B * W, 3, K)
+                tab = table.astype(jnp.float32)
+            else:
+                xyz_p = jnp.zeros((B * W, 3, K), jnp.int32)
+                tab = jnp.zeros((3, H), jnp.float32)
+            mask_i = key_mask.reshape(B * W, T).astype(jnp.int32)
+            wt = _pick_window_tile(B * W)
+            interp = jax.default_backend() != "tpu"
+            out = fused_window_attention(q, k, v, xyz_p, mask_i, tab, H, G,
+                                         bnd, use_rpe, wt, interp)
+            out = out.reshape(B, W, T, C)
+        else:
+            qkv = qkv.reshape(B, W, T, 3, H, hd)
+            q, k, v = (qkv[..., 0, :, :], qkv[..., 1, :, :],
+                       qkv[..., 2, :, :])
+            scale = hd ** -0.5
+            logits = jnp.einsum("bwthd,bwshd->bwhts", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if use_rpe:
+                # rel-pos bias: per-axis table rows summed over x/y/z
+                # (RPE, models/layers/octformer_layers.py:144-174)
+                num = 2 * bnd + 1
+                rel = (xyz_w[:, :, :, None, :]
+                       - xyz_w[:, :, None, :, :])         # (B,W,K,K,3)
+                idx = jnp.clip(rel, -bnd, bnd) + bnd
+                idx = idx + jnp.arange(3, dtype=jnp.int32) * num
+                bias = jnp.take(table.astype(self.dtype), idx, axis=0)
+                bias = jnp.sum(bias, axis=-2)              # (B,W,K,K,H)
+                bias = jnp.moveaxis(bias, -1, 2)
+                if G > 0:
+                    bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
+                                          (G, 0), (G, 0)))
+                logits = logits + bias.astype(jnp.float32)
+            attn = masked_softmax(logits, key_mask, 2)
+            attn = nn.Dropout(self.attn_drop)(attn,
+                                              deterministic=deterministic)
+            out = jnp.einsum("bwhts,bwshd->bwthd", attn.astype(self.dtype),
+                             v)
+            out = out.reshape(B, W, T, C)
         out = dense(C, self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 

@@ -5,9 +5,13 @@ Re-architecture of /root/reference/models/octformer_backbone.py:355-469
 and /root/reference/models/hotformerloc_backbone.py:337-811 for the
 per-sample static octree layout. The multi-scale relay-token tensor is a
 static concat over pyramid levels — no ragged splits — and every stage
-is jit-compiled end to end. Gradient checkpointing uses nn.remat per
-block, mirroring the reference's per-block torch checkpointing
-(models/hotformerloc_backbone.py:561-583).
+is jit-compiled end to end.
+
+The HOTFormer block loop (num_blocks x [RTSA -> per-level H-OSA]) runs
+under nn.scan with stacked per-iteration parameters: one traced
+iteration instead of 10 unrolled ones (~10x smaller HLO / faster
+compiles), composed with nn.remat for the reference's per-block gradient
+checkpointing (models/hotformerloc_backbone.py:561-583).
 """
 from __future__ import annotations
 
@@ -80,20 +84,71 @@ class OctFormerStage(nn.Module):
         c = self.cfg
         Block = OctFormerBlock
         if c.grad_checkpoint:
-            Block = nn.remat(OctFormerBlock, static_argnums=(3, 4))
+            Block = nn.remat(OctFormerBlock, static_argnums=(4, 5))
         for i, dp in enumerate(self.drop_paths):
             x = Block(self.dim, self.num_heads, c.patch_size,
-                      1 if i % 2 == 0 else c.dilation, c.mlp_ratio, dp,
+                      1 if i % 2 == 0 else c.dilation, c.mlp_ratio,
                       not c.disable_rpe, c.conv_norm, c.layer_scale,
-                      c.xcpe, c.proj_drop, c.attn_drop, dtype=self.dtype,
-                      name=f"block{i}")(x, ctx, deterministic, train)
+                      c.xcpe, c.proj_drop, c.attn_drop,
+                      use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                      name=f"block{i}")(x, ctx, dp, deterministic, train)
         return x
+
+
+class HOTFormerIteration(nn.Module):
+    """One RTSA + per-level H-OSA iteration — the scanned unit of the
+    HOTFormer stage (one pass of the loop at
+    models/hotformerloc_backbone.py:558-595)."""
+    cfg: ModelConfig
+    channels: Tuple[int, ...]
+    num_heads: Tuple[int, ...]
+    deterministic: bool
+    train: bool
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, ctxs, rt_mask, drop_rate):
+        c = self.cfg
+        K = c.patch_size
+        L = c.num_pyramid_levels
+        use_proj = c.use_projections
+        max_ch = max(self.channels)
+        max_heads = self.num_heads[self.channels.index(max_ch)]
+        rt_comb, locals_ = carry
+        widths = [ctx.node_valid.shape[1] // K for ctx in ctxs]
+
+        rt_comb = RelayTokenBlock(
+            max_ch, max_heads, c.mlp_ratio, c.layer_scale, c.proj_drop,
+            c.attn_drop, dtype=self.dtype, name="rtsa")(
+            rt_comb, rt_mask, drop_rate, self.deterministic)
+
+        parts = []
+        new_locals = []
+        off = 0
+        for j in range(L):
+            rt_j = rt_comb[:, off:off + widths[j]]
+            off += widths[j]
+            if use_proj:
+                rt_j = dense(self.channels[j], self.dtype,
+                             name=f"down_proj{j}")(rt_j)
+            x_j, rt_j = HOTFormerBlock(
+                self.channels[j], self.num_heads[j], K, c.mlp_ratio,
+                not c.disable_rpe, c.conv_norm, c.layer_scale, c.xcpe,
+                c.proj_drop, c.attn_drop, last=False, rt_propagation=False,
+                use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                name=f"hosa{j}")(locals_[j], rt_j, ctxs[j], drop_rate,
+                                 self.deterministic, self.train)
+            if use_proj:
+                rt_j = dense(max_ch, self.dtype, name=f"up_proj{j}")(rt_j)
+            parts.append(rt_j)
+            new_locals.append(x_j)
+        return (jnp.concatenate(parts, axis=1), tuple(new_locals)), None
 
 
 class HOTFormerStage(nn.Module):
     """The core stage: per-level relay-token init (+ADaPE), then
-    num_blocks iterations of [RTSA over all scales -> per-level H-OSA]
-    (models/hotformerloc_backbone.py:337-597).
+    num_blocks scanned iterations of [RTSA over all scales -> per-level
+    H-OSA] (models/hotformerloc_backbone.py:337-597).
 
     Returns (local_feat_dict, relay_token_dict, rt_combined, rt_mask),
     keyed by octree depth.
@@ -112,10 +167,9 @@ class HOTFormerStage(nn.Module):
         L = c.num_pyramid_levels
         depths = [depth - j for j in range(L)]
         oc = plan.octree
-        ctxs = [plan.level_ctx(d) for d in depths]
+        ctxs = tuple(plan.level_ctx(d) for d in depths)
         use_proj = c.use_projections
         max_ch = max(self.channels)
-        max_heads = self.num_heads[self.channels.index(max_ch)]
 
         # ---- init pyramid locals (downsample chain) --------------------
         locals_ = [x]
@@ -134,16 +188,17 @@ class HOTFormerStage(nn.Module):
             # re-enabled (models/hotformerloc_backbone.py:411-430).
             Block = OctFormerBlock
             if c.grad_checkpoint:
-                Block = nn.remat(OctFormerBlock, static_argnums=(3, 4))
+                Block = nn.remat(OctFormerBlock, static_argnums=(4, 5))
             for i, dp in enumerate(self.drop_paths):
                 for j in range(L):
                     locals_[j] = Block(
                         self.channels[j], self.num_heads[j], K,
-                        1 if i % 2 == 0 else c.dilation, c.mlp_ratio, dp,
+                        1 if i % 2 == 0 else c.dilation, c.mlp_ratio,
                         not c.disable_rpe, c.conv_norm, c.layer_scale,
-                        c.xcpe, c.proj_drop, c.attn_drop, dtype=self.dtype,
+                        c.xcpe, c.proj_drop, c.attn_drop,
+                        use_pallas=c.use_pallas_attn, dtype=self.dtype,
                         name=f"hosa_l{j}_b{i}")(
-                            locals_[j], ctxs[j], deterministic, train)
+                            locals_[j], ctxs[j], dp, deterministic, train)
             local_dict = {d: f for d, f in zip(depths, locals_)}
             return local_dict, {d: None for d in depths}, None, None
 
@@ -167,40 +222,42 @@ class HOTFormerStage(nn.Module):
         rt_comb = jnp.concatenate(rts, axis=1)        # (B, sum(W_j), C)
         rt_mask = jnp.concatenate(wvalids, axis=1)
 
-        # ---- RTSA + H-OSA loop ----------------------------------------
-        RTBlock, HBlock = RelayTokenBlock, HOTFormerBlock
+        # ---- scanned RTSA + H-OSA loop --------------------------------
+        Iter = HOTFormerIteration
         if c.grad_checkpoint:
-            # flax nn.remat passes the module as arg 0, so call-arg
-            # indices are offset by 1.
-            RTBlock = nn.remat(RelayTokenBlock, static_argnums=(3,))
-            HBlock = nn.remat(HOTFormerBlock, static_argnums=(4, 5))
-        for i, dp in enumerate(self.drop_paths):
-            rt_comb = RTBlock(max_ch, max_heads, c.mlp_ratio, dp,
-                              c.layer_scale, c.proj_drop, c.attn_drop,
-                              dtype=self.dtype, name=f"rtsa{i}")(
-                rt_comb, rt_mask, deterministic)
-            parts = []
+            Iter = nn.remat(HOTFormerIteration)
+        ScanIter = nn.scan(
+            Iter,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True, "droppath": True},
+            in_axes=(nn.broadcast, nn.broadcast, 0),
+            length=len(self.drop_paths))
+        rates = jnp.asarray(self.drop_paths, jnp.float32)
+        (rt_comb, locals_t), _ = ScanIter(
+            c, tuple(self.channels), tuple(self.num_heads), deterministic,
+            train, self.dtype, name="iter")(
+            (rt_comb, tuple(locals_)), ctxs, rt_mask, rates)
+        locals_ = list(locals_t)
+
+        # ---- optional relay-token propagation (the reference applies it
+        # inside the last H-OSA block, models/hotformerloc_backbone.py:
+        # 196-206; post-loop application is equivalent) ------------------
+        if c.rt_propagation:
             off = 0
             for j, d in enumerate(depths):
                 rt_j = rt_comb[:, off:off + widths[j]]
                 off += widths[j]
                 if use_proj:
                     rt_j = dense(self.channels[j], self.dtype,
-                                 name=f"down_proj_l{j}_b{i}")(rt_j)
-                locals_[j], rt_j = HBlock(
-                    self.channels[j], self.num_heads[j], K, c.mlp_ratio,
-                    dp, not c.disable_rpe, c.conv_norm, c.layer_scale,
-                    c.xcpe, c.proj_drop, c.attn_drop,
-                    last=(i == len(self.drop_paths) - 1),
-                    rt_propagation=c.rt_propagation,
-                    rt_propagation_scale=c.rt_propagation_scale,
-                    dtype=self.dtype, name=f"hosa_l{j}_b{i}")(
-                        locals_[j], rt_j, ctxs[j], deterministic, train)
-                if use_proj:
-                    rt_j = dense(max_ch, self.dtype,
-                                 name=f"up_proj_l{j}_b{i}")(rt_j)
-                parts.append(rt_j)
-            rt_comb = jnp.concatenate(parts, axis=1)
+                                 name=f"prop_down_proj{j}")(rt_j)
+                up = jnp.repeat(rt_j, K, axis=1)
+                up = jnp.where(ctxs[j].node_valid[..., None], up, 0)
+                if c.rt_propagation_scale is not None:
+                    g = self.param(f"rt_gamma_propagate{j}",
+                                   nn.initializers.constant(
+                                       c.rt_propagation_scale), ())
+                    up = up * g.astype(self.dtype)
+                locals_[j] = locals_[j] + up
 
         local_dict = {d: f for d, f in zip(depths, locals_)}
         splits = []
@@ -243,6 +300,7 @@ class HOTFormerBase(nn.Module):
                               name=f"octf_down{i}")(
                 feat, plan.children(d), oc.node_valid(d - 1), train)
             d -= 1
-        return HOTFormerStage(c, pyr_ch, pyr_h, rates[used:used + c.num_blocks[-1]],
+        return HOTFormerStage(c, pyr_ch, pyr_h,
+                              rates[used:used + c.num_blocks[-1]],
                               self.dtype, name="hotf_stage")(
             feat, plan, d, deterministic, train)

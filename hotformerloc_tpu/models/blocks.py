@@ -50,37 +50,38 @@ class OctFormerBlock(nn.Module):
     patch_size: int
     dilation: int = 1
     mlp_ratio: float = 4.0
-    drop_path: float = 0.0
     use_rpe: bool = True
     conv_norm: str = "layernorm"
     layer_scale: Optional[float] = None
     xcpe: bool = False
     proj_drop: float = 0.0
     attn_drop: float = 0.0
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, ctx: LevelCtx, deterministic: bool = True,
-                 train: bool = False):
+    def __call__(self, x, ctx: LevelCtx, drop_path=0.0,
+                 deterministic: bool = True, train: bool = False):
         K, D = self.patch_size, self.dilation
         x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
             x, ctx.neigh, ctx.node_valid, train)
         xw = ow.data_to_windows(x, K, D)
         key_mask = ow.window_key_mask(ctx.node_valid, K, D)
-        rel_pos = ow.window_rel_pos(ctx.xyz, K, D) if self.use_rpe else None
+        xyz_w = ow.data_to_windows(ctx.xyz, K, D) if self.use_rpe else None
 
         h = nn.LayerNorm(dtype=self.dtype)(xw)
         h = WindowAttention(self.dim, self.num_heads, K, D, 0, self.use_rpe,
                             self.attn_drop, self.proj_drop,
-                            dtype=self.dtype)(h, key_mask, rel_pos,
+                            use_pallas=self.use_pallas,
+                            dtype=self.dtype)(h, key_mask, xyz_w,
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        xw = xw + DropPath(self.drop_path)(h, deterministic)
+        xw = xw + DropPath()(h, drop_path, deterministic)
         h = nn.LayerNorm(dtype=self.dtype)(xw)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        xw = xw + DropPath(self.drop_path)(h, deterministic)
+        xw = xw + DropPath()(h, drop_path, deterministic)
         return ow.windows_to_data(xw, K, D)
 
 
@@ -96,7 +97,6 @@ class HOTFormerBlock(nn.Module):
     num_heads: int
     patch_size: int
     mlp_ratio: float = 4.0
-    drop_path: float = 0.0
     use_rpe: bool = True
     conv_norm: str = "layernorm"
     layer_scale: Optional[float] = None
@@ -106,11 +106,12 @@ class HOTFormerBlock(nn.Module):
     last: bool = False
     rt_propagation: bool = False
     rt_propagation_scale: Optional[float] = None
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, rt, ctx: LevelCtx, deterministic: bool = True,
-                 train: bool = False):
+    def __call__(self, x, rt, ctx: LevelCtx, drop_path=0.0,
+                 deterministic: bool = True, train: bool = False):
         # x: (B, N, C) locals; rt: (B, W, C) relay tokens of this level.
         K = self.patch_size
         x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
@@ -120,20 +121,21 @@ class HOTFormerBlock(nn.Module):
         wvalid = jnp.any(node_mask_w, axis=-1)              # (B, W)
         t = jnp.concatenate([rt[:, :, None, :], xw], axis=2)  # (B, W, 1+K, C)
         key_mask = jnp.concatenate([wvalid[:, :, None], node_mask_w], axis=2)
-        rel_pos = ow.window_rel_pos(ctx.xyz, K) if self.use_rpe else None
+        xyz_w = ow.data_to_windows(ctx.xyz, K) if self.use_rpe else None
 
         h = nn.LayerNorm(dtype=self.dtype)(t)
         h = WindowAttention(self.dim, self.num_heads, K, 1, 1, self.use_rpe,
                             self.attn_drop, self.proj_drop,
-                            dtype=self.dtype)(h, key_mask, rel_pos,
+                            use_pallas=self.use_pallas,
+                            dtype=self.dtype)(h, key_mask, xyz_w,
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        t = t + DropPath(self.drop_path)(h, deterministic)
+        t = t + DropPath()(h, drop_path, deterministic)
         h = nn.LayerNorm(dtype=self.dtype)(t)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        t = t + DropPath(self.drop_path)(h, deterministic)
+        t = t + DropPath()(h, drop_path, deterministic)
 
         rt = t[:, :, 0, :]
         x = ow.windows_to_data(t[:, :, 1:, :], K)
@@ -158,23 +160,23 @@ class RelayTokenBlock(nn.Module):
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
-    drop_path: float = 0.0
     layer_scale: Optional[float] = None
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, rt, rt_mask, deterministic: bool = True):
+    def __call__(self, rt, rt_mask, drop_path=0.0,
+                 deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype)(rt)
         h = TokenAttention(self.dim, self.num_heads, self.attn_drop,
                            self.proj_drop, dtype=self.dtype)(
             h, rt_mask, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        rt = rt + DropPath(self.drop_path)(h, deterministic)
+        rt = rt + DropPath()(h, drop_path, deterministic)
         h = nn.LayerNorm(dtype=self.dtype)(rt)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
-        rt = rt + DropPath(self.drop_path)(h, deterministic)
+        rt = rt + DropPath()(h, drop_path, deterministic)
         return rt

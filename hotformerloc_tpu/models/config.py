@@ -46,6 +46,8 @@ class ModelConfig:
     k_pooled_tokens: Tuple[int, ...] = (74, 36, 18)
     normalize_embeddings: bool = True
     input_features: str = "P"
+    # execution
+    use_pallas_attn: bool = False   # fused Pallas window attention
     # octree / static shapes
     octree_depth: int = 9
     num_points: int = 4096

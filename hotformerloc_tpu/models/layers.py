@@ -279,19 +279,19 @@ class DropPath(nn.Module):
     (models/layers/octformer_layers.py:213-289) spends most of its code
     resolving which batch element each ragged token belongs to; with the
     per-sample layout the batch axis is axis 0 and this collapses to the
-    classic timm formulation.
+    classic timm formulation. The rate is a __call__ argument (possibly
+    traced) so block loops can be nn.scan-ed with per-iteration rates.
     """
-    rate: float
     scale_by_keep: bool = True
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
-        if self.rate <= 0.0 or deterministic:
+    def __call__(self, x, rate, deterministic: bool = True):
+        if deterministic or (isinstance(rate, float) and rate <= 0.0):
             return x
-        keep = 1.0 - self.rate
+        keep = 1.0 - jnp.asarray(rate, jnp.float32)
         rng = self.make_rng("droppath")
         shape = (x.shape[0],) + (1,) * (x.ndim - 1)
         mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
         if self.scale_by_keep:
-            mask = mask / keep
+            mask = mask / jnp.maximum(keep, 1e-6).astype(x.dtype)
         return x * mask

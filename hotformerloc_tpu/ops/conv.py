@@ -6,50 +6,50 @@ TPU-native replacements for the reference's conv stack:
     and xCPE (/root/reference/models/layers/octformer_layers.py:122-142).
   * `octree_dwconv` ~ the repo's CUDA depthwise kernel
     (/root/reference/libs/dwconv/csrc/dwconv.cu:24-42): out[n, c] =
-    sum_k w[k, c] * x[neigh[n, k], c]. On TPU this is a bandwidth-bound
-    VPU op; the gather-accumulate loop below fuses into a handful of XLA
-    kernels (a Pallas variant lives in ops/pallas/).
+    sum_k w[k, c] * x[neigh[n, k], c].
   * `octree_down_conv` ~ kernel-[2] stride-2 OctreeConv (Downsample,
     /root/reference/models/octformer_backbone.py:456-469), expressed as a
     gather over each parent's 8 children.
   * `global_pool`   ~ ocnn.nn.OctreeGlobalPool (per-sample masked mean).
 
-All inputs are per-sample dense node arrays (B, N, C) with -1-padded
-gather tables, so every op is a static-shape batched computation.
-Autodiff: `jnp.take_along_axis` + `where` differentiate to the exact
-scatter-adjoint the reference implements manually with its
-inverse-neighbour CUDA trick (/root/reference/libs/dwconv/csrc/dwconv.cu:74-97);
-XLA generates that for free.
+Formulation: ONE batched row-gather of all taps -> one MXU dot_general
+with the (tap, channel) axes contracted. A per-tap Python loop would be
+K gathers + K matmuls = ~55 XLA kernels per conv; on this system kernel
+launches are expensive, and the single-gather form is also what lets the
+dwconv reduce fuse without materialising the patch tensor. Autodiff
+through take_along_axis yields the exact scatter-adjoint the reference
+hand-writes with its inverse-neighbour CUDA trick
+(/root/reference/libs/dwconv/csrc/dwconv.cu:74-97).
 """
 from __future__ import annotations
 
 import jax.numpy as jnp
 
 
-def _gather_tap(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather one tap: x (B, N, C), idx (B, N) with -1 missing -> (B, N, C)."""
-    safe = jnp.maximum(idx, 0)
-    g = jnp.take_along_axis(x, safe[..., None], axis=1)
-    return jnp.where((idx >= 0)[..., None], g, 0)
+def _gather_taps(x: jnp.ndarray, neigh: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, N, C), neigh: (B, M, K) with -1 missing -> (B, M, K, C).
+
+    M may differ from N (stride-2 convs gather depth-d children into
+    depth-(d-1) parents).
+    """
+    B, _, C = x.shape
+    _, M, K = neigh.shape
+    flat = neigh.reshape(B, M * K)
+    safe = jnp.maximum(flat, 0)
+    g = jnp.take_along_axis(x, safe[..., None], axis=1)   # (B, M*K, C)
+    g = jnp.where((flat >= 0)[..., None], g, 0)
+    return g.reshape(B, M, K, C)
 
 
 def octree_conv(x: jnp.ndarray, neigh: jnp.ndarray, w: jnp.ndarray,
                 b: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Stride-1 octree conv. x: (B, N, Cin), neigh: (B, N, K), w: (K, Cin, Cout).
-
-    Tap-loop formulation: K gathers + K (N, Cin) @ (Cin, Cout) matmuls.
-    Avoids materialising the (B, N, K, Cin) patch tensor in HBM while
-    keeping the contraction on the MXU.
-    """
+    """Stride-1 octree conv. x: (B, N, Cin), neigh: (B, N, K),
+    w: (K, Cin, Cout)."""
     K = w.shape[0]
     assert neigh.shape[-1] == K
-    out = None
-    for k in range(K):
-        g = _gather_tap(x, neigh[..., k])
-        t = jnp.einsum("bnc,co->bno", g, w[k],
-                       preferred_element_type=jnp.float32)
-        out = t if out is None else out + t
-    out = out.astype(x.dtype)
+    g = _gather_taps(x, neigh)
+    out = jnp.einsum("bnkc,kco->bno", g, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
         out = out + b
     return out
@@ -57,13 +57,15 @@ def octree_conv(x: jnp.ndarray, neigh: jnp.ndarray, w: jnp.ndarray,
 
 def octree_dwconv(x: jnp.ndarray, neigh: jnp.ndarray,
                   w: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise octree conv. x: (B, N, C), neigh: (B, N, K), w: (K, C)."""
+    """Depthwise octree conv. x: (B, N, C), neigh: (B, N, K), w: (K, C).
+
+    Elementwise multiply + tap-sum; XLA fuses the gather into the
+    reduction so the (B, N, K, C) patch tensor never reaches HBM.
+    """
     K = w.shape[0]
     assert neigh.shape[-1] == K
-    out = jnp.zeros_like(x)
-    for k in range(K):
-        out = out + _gather_tap(x, neigh[..., k]) * w[k]
-    return out
+    g = _gather_taps(x, neigh)
+    return jnp.einsum("bnkc,kc->bnc", g, w.astype(x.dtype))
 
 
 def octree_down_conv(x: jnp.ndarray, children: jnp.ndarray, w: jnp.ndarray,
