@@ -47,9 +47,12 @@ def init_train_state(model, tx, rng, example_batch,
     variables = model.init(rng, points, pmask)
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
+    # EMA starts as a *copy* of params: with donate_argnums on the jitted
+    # step, aliased buffers would be donated twice and XLA rejects that.
+    ema = jax.tree_util.tree_map(jnp.copy, params) if use_ema else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=tx.init(params),
-                      ema_params=params if use_ema else None,
+                      ema_params=ema,
                       model_state=model_state)
 
 
