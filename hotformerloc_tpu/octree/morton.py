@@ -17,7 +17,10 @@ import jax.numpy as jnp
 # Any value >= 2**30 is safely larger than every valid Morton key
 # (max 30 bits) and is used to mark invalid / padding nodes so they sort
 # to the tail of per-sample key arrays.
-SENTINEL = jnp.int32(2**30)
+# Plain Python int (not jnp.int32): creating a device scalar at import
+# time would initialize the jax backend and lock the platform choice
+# before callers can configure virtual CPU meshes.
+SENTINEL = 2**30
 
 _MAX_DEPTH = 10
 
