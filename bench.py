@@ -63,7 +63,10 @@ def main():
     }
 
     state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
-    step = make_train_step(model, tx, loss_fn, StepConfig())
+    # Multistage step (microbatch 8): the single-pass step at B=32
+    # needs ~27G HBM and OOMs the 16G v5e chip; multistage matches the
+    # production config (batch_split_size) anyway.
+    step = make_train_step(model, tx, loss_fn, StepConfig(accum_steps=4))
 
     # warmup / compile
     state, stats = step(state, batch, jax.random.PRNGKey(0))

@@ -97,6 +97,23 @@ def read_pcd(path: str) -> np.ndarray:
         raise NotImplementedError(f"PCD DATA mode {mode}")
 
 
+def write_pcd(path: str, points: np.ndarray):
+    """Minimal binary PCD v0.7 writer (x,y,z float32), round-trips with
+    `read_pcd`. Used by the offline preprocessing tools in place of
+    open3d's writer."""
+    pts = np.ascontiguousarray(np.asarray(points, dtype=np.float32))
+    assert pts.ndim == 2 and pts.shape[1] == 3
+    n = len(pts)
+    header = ("# .PCD v0.7 - Point Cloud Data file format\n"
+              "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+              f"COUNT 1 1 1\nWIDTH {n}\nHEIGHT 1\n"
+              "VIEWPOINT 0 0 0 1 0 0 0\n"
+              f"POINTS {n}\nDATA binary\n")
+    with open(path, "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(pts.tobytes())
+
+
 class CSWildPlacesPointCloudLoader(PointCloudLoader):
     """Wild-Places / CS-Wild-Places .pcd submaps
     (CSWildPlaces_raw.py:8-24). Preprocessing (ground removal etc.) is
