@@ -121,10 +121,50 @@ def get_latent_vectors(embed_fn: Callable, data_set: Dict, params,
     return embeddings
 
 
+def _log_forensics(model_name: str, query_details: Dict, db_set: Dict,
+                   dist_row: np.ndarray, idx_row: np.ndarray,
+                   true_neighbors) -> None:
+    """Retrieval forensics (pnv_evaluate.py:222-264): append the top-1
+    false positive (with the first true positive for contrast) and the
+    top-5 matches to per-model txt logs."""
+
+    def world_dist(a, b):
+        return float(np.hypot(a["northing"] - b["northing"],
+                              a["easting"] - b["easting"]))
+
+    tn = set(true_neighbors)
+    if idx_row[0] not in tn:
+        fp = db_set[int(idx_row[0])]
+        tp, tp_emb = None, 0.0
+        for k in range(len(idx_row)):
+            if idx_row[k] in tn:
+                tp, tp_emb = db_set[int(idx_row[k])], float(dist_row[k])
+                break
+        with open(f"{model_name}_log_fp.txt", "a") as f:
+            s = (f"{query_details['query']}, {fp['query']}, "
+                 f"{dist_row[0]:0.2f}, "
+                 f"{world_dist(query_details, fp):0.2f}")
+            s += ", 0, 0, 0\n" if tp is None else (
+                f", {tp['query']}, {tp_emb:0.2f}, "
+                f"{world_dist(query_details, tp):0.2f}\n")
+            f.write(s)
+    s = (f"{query_details['query']}, {query_details['northing']}, "
+         f"{query_details['easting']}")
+    for k in range(min(len(idx_row), 5)):
+        e = db_set[int(idx_row[k])]
+        s += (f", {e['query']}, {dist_row[k]:0.2f}, , "
+              f"{world_dist(query_details, e):0.2f}, "
+              f"{1 if idx_row[k] in tn else 0}, ")
+    with open(f"{model_name}_log_search_results.txt", "a") as f:
+        f.write(s + "\n")
+
+
 def get_recall(m: int, n: int, database_vectors, query_vectors, query_sets,
-               database_sets):
+               database_sets, log: bool = False,
+               model_name: str = "model"):
     """AR@N / AR@1% / MRR for one (database run m, query run n) pair
-    (pnv_evaluate.py:193-278)."""
+    (pnv_evaluate.py:193-278). log=True appends false-positive and
+    top-5 forensics to <model_name>_log_*.txt."""
     db = database_vectors[m]
     qv = query_vectors[n]
     threshold = max(int(round(len(db) / 100.0)), 1)
@@ -140,6 +180,10 @@ def get_recall(m: int, n: int, database_vectors, query_vectors, query_sets,
             continue
         num_evaluated += 1
         tn = set(true_neighbors)
+        if log:
+            _log_forensics(model_name, query_sets[n][i],
+                           database_sets[m], dist[i], indices[i],
+                           true_neighbors)
         for j in range(min(NUM_NEIGHBORS, indices.shape[1])):
             if indices[i, j] in tn:
                 recall[j] += 1
@@ -157,7 +201,8 @@ def get_recall(m: int, n: int, database_vectors, query_vectors, query_sets,
 
 
 def evaluate_dataset(embed_fn, params, database_sets, query_sets,
-                     debug: bool = False) -> Dict:
+                     debug: bool = False, log: bool = False,
+                     model_name: str = "model") -> Dict:
     """One location: embed all runs, score all (db-run, query-run) pairs
     (pnv_evaluate.py:70-113)."""
     database_embeddings = [get_latent_vectors(embed_fn, s, params, debug)
@@ -176,7 +221,8 @@ def evaluate_dataset(embed_fn, params, database_sets, query_sets,
                 continue
             r, opr, mrr = get_recall(i, j, database_embeddings,
                                      query_embeddings, query_sets,
-                                     database_sets)
+                                     database_sets, log=log,
+                                     model_name=model_name)
             recall += r
             count += 1
             oprs.append(opr)
@@ -187,7 +233,8 @@ def evaluate_dataset(embed_fn, params, database_sets, query_sets,
             "ave_mrr": float(np.mean(mrrs)) if mrrs else 0.0}
 
 
-def evaluate(embed_fn, params, debug: bool = False) -> Dict:
+def evaluate(embed_fn, params, debug: bool = False, log: bool = False,
+             model_name: str = "model") -> Dict:
     """All locations for the configured dataset (pnv_evaluate.py:26-67)."""
     db_files, q_files = get_query_database_splits(params.dataset_name)
     stats = {}
@@ -200,7 +247,7 @@ def evaluate(embed_fn, params, debug: bool = False) -> Dict:
         with open(os.path.join(params.dataset_folder, qf), "rb") as f:
             query_sets = pickle.load(f)
         s = evaluate_dataset(embed_fn, params, database_sets, query_sets,
-                             debug)
+                             debug, log=log, model_name=model_name)
         stats[loc] = s
         aggr["opr"].append(s["ave_one_percent_recall"])
         aggr["recall"].append(s["ave_recall"])

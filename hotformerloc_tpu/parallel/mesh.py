@@ -37,7 +37,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Device_put a host pytree with the batch axis sharded."""
+    """Device_put a host pytree with the batch axis sharded.
+
+    Leaves whose leading dim is not divisible by the mesh size (tiny
+    debug batches, last ragged minibatch) fall back to replication —
+    XLA still computes them correctly, just without DP savings.
+    """
     sh = batch_sharding(mesh)
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh), tree)
+    rep = replicated(mesh)
+
+    def put(x):
+        ok = getattr(x, "ndim", 0) >= 1 and x.shape[0] % mesh.size == 0
+        return jax.device_put(x, sh if ok else rep)
+
+    return jax.tree_util.tree_map(put, tree)

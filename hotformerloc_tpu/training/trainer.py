@@ -44,8 +44,9 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, {"state": jax.device_get(state),
-                      "meta": {"epoch": np.int64(epoch),
-                               "best": np.float64(best_metric)}},
+                      "meta": {"epoch": np.asarray(epoch, np.int64),
+                               "best": np.asarray(best_metric,
+                                                  np.float64)}},
                force=True)
     ckptr.wait_until_finished()
 
@@ -55,7 +56,8 @@ def load_checkpoint(path: str, template_state: TrainState):
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     target = {"state": jax.device_get(template_state),
-              "meta": {"epoch": np.int64(0), "best": np.float64(0.0)}}
+              "meta": {"epoch": np.asarray(0, np.int64),
+              "best": np.asarray(0.0, np.float64)}}
     restored = ckptr.restore(path, target)
     return restored["state"], int(restored["meta"]["epoch"]), \
         float(restored["meta"]["best"])

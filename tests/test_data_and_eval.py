@@ -220,3 +220,70 @@ class TestRetrieval:
         recall, opr, mrr = get_recall(0, 1, db, qv, query_sets, None)
         assert recall[0] == 90.0
         assert recall[1] >= 90.0
+
+
+class TestSplitsAndForensics:
+    def _mini_sets(self):
+        """Two runs; query i in run 1 matches db i in run 0."""
+        rng = np.random.default_rng(12)
+        base = rng.standard_normal((10, 8)).astype(np.float32)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        db_sets = [
+            {i: {"query": f"runA/clouds/{i}.pcd", "northing": float(i),
+                 "easting": 0.0} for i in range(10)},
+            {i: {"query": f"runB/clouds/{i}.pcd", "northing": float(i),
+                 "easting": 5.0} for i in range(10)},
+        ]
+        q_sets = [
+            {i: {"query": f"runA/clouds/{i}.pcd", "northing": float(i),
+                 "easting": 0.0, 1: [i]} for i in range(10)},
+            {i: {"query": f"runB/clouds/{i}.pcd", "northing": float(i),
+                 "easting": 5.0, 0: [i]} for i in range(10)},
+        ]
+        return base, db_sets, q_sets
+
+    def test_forensics_logs_written(self, tmp_path, monkeypatch):
+        from hotformerloc_tpu.evaluation.evaluate import get_recall
+        monkeypatch.chdir(tmp_path)
+        base, db_sets, q_sets = self._mini_sets()
+        q = base.copy()
+        q[0] = base[1] + 1e-3 * base[0]   # query 0 retrieves wrong top-1
+        recall, _, _ = get_recall(0, 1, [base, None], [None, q],
+                                  q_sets, db_sets, log=True,
+                                  model_name="m")
+        fp = (tmp_path / "m_log_fp.txt").read_text().strip().splitlines()
+        top5 = (tmp_path / "m_log_search_results.txt").read_text() \
+            .strip().splitlines()
+        assert len(fp) == 1            # exactly one false positive
+        assert "runB/clouds/0.pcd" in fp[0]
+        assert len(top5) == 10         # every evaluated query logged
+
+    def test_evaluate_dataset_splits_keys(self, monkeypatch):
+        from hotformerloc_tpu.evaluation import evaluate_splits as es
+
+        class P:
+            dataset_name = "WildPlaces"
+            skip_same_run = True
+            val_batch_size = 8
+            dataset_folder = "."
+            normalize_points = False
+            scale_factor = None
+            unit_sphere_norm = False
+            zero_mean = True
+
+            class model_params:
+                coordinates = "cartesian"
+
+                class config:
+                    output_dim = 8
+                    num_points = 16
+                    model = "t"
+
+        base, db_sets, q_sets = self._mini_sets()
+        # stub the embedding step: debug=True path returns random vecs
+        stats = es.evaluate_dataset_splits(None, P, db_sets, q_sets,
+                                           debug=True)
+        # per-split keys (db-run x query-run pairs, excluding same run)
+        assert "runA" in stats and "runB" in stats
+        assert "average" in stats
+        assert stats["average"]["ave_recall"].shape == (25,)
