@@ -134,11 +134,12 @@ class TrainParams:
     wandb: bool = False
     num_points: int = 4096
     debug: bool = False
+    verbose: bool = False
     model_params: Optional[FullModelParams] = None
 
 
 def parse_train_config(params_path: str, model_params_path: str,
-                       debug: bool = False,
+                       debug: bool = False, verbose: bool = False,
                        num_points: int = 4096) -> TrainParams:
     assert os.path.exists(params_path), \
         f"Cannot find configuration file: {params_path}"
@@ -190,6 +191,7 @@ def parse_train_config(params_path: str, model_params_path: str,
         wandb=t.getboolean("wandb", False),
         num_points=num_points,
         debug=debug,
+        verbose=verbose,
     )
     sf = t.get("scale_factor", None)
     tp.scale_factor = float(sf) if sf else None
@@ -215,6 +217,25 @@ def parse_train_config(params_path: str, model_params_path: str,
     tp.model_params = parse_model_config(model_params_path,
                                          octree_depth=tp.octree_depth,
                                          num_points=num_points)
+    return tp
+
+
+def update_params_from_dict(tp: TrainParams, overrides: dict) -> TrainParams:
+    """Hyperparameter-search overrides (~ misc/utils.py:260-276 and
+    trainer.py:58-63): keys matching TrainParams fields update the
+    training params; keys matching ModelConfig fields rebuild the
+    frozen model config with the new value. Unknown keys raise."""
+    model_updates = {}
+    cfg = tp.model_params.config if tp.model_params else None
+    for k, v in overrides.items():
+        if hasattr(tp, k) and k != "model_params":
+            setattr(tp, k, v)
+        elif cfg is not None and hasattr(cfg, k):
+            model_updates[k] = v
+        else:
+            raise KeyError(f"Unknown hyperparameter override: {k}")
+    if model_updates:
+        tp.model_params.config = dataclasses.replace(cfg, **model_updates)
     return tp
 
 

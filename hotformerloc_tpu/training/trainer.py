@@ -169,6 +169,8 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self.start_epoch = 1
         self.best_metric = 0.0
+        # set by elastic.install_preemption_handler on SIGTERM/SIGUSR1
+        self.preempted = False
 
     # -- lifecycle ------------------------------------------------------
     def init_state(self, seed: int = 42):
@@ -184,6 +186,9 @@ class Trainer:
                                       use_ema=self.use_ema)
         n = param_count(self.state.params)
         print(f"Model: {self.cfg.model}  parameters: {n}")
+        if self.params.verbose:
+            from hotformerloc_tpu.utils.profiling import print_info
+            print_info(self.cfg.model, self.state.params, depth=2)
         return self.state
 
     def ckpt_path(self, tag: str) -> str:
@@ -264,6 +269,12 @@ class Trainer:
                                         epoch, self.best_metric)
                 except FileNotFoundError as e:
                     print(f"[WARN] eval skipped: {e}")
+
+            # preemption: checkpoint + requeue exit (trainer.py:111-128)
+            if self.preempted:
+                from hotformerloc_tpu.training.elastic import \
+                    maybe_requeue_exit
+                maybe_requeue_exit(self, epoch)
 
             # dynamic batch expansion (trainer.py:506-512)
             if p.batch_expansion_th is not None and \
