@@ -23,10 +23,11 @@ import time
 
 import numpy as np
 
-# First recorded v5e single-chip throughput (round 1). The reference
-# publishes no throughput (SURVEY.md §6), so this repo benchmarks
-# against its own round-1 bar and must only go up.
-BENCH_BASELINE_SUBMAPS_S = 330.0
+# Recorded v5e single-chip throughput bar (round 1, after the scanned
+# block loop + fused window attention landed: 8461 submaps/s). The
+# reference publishes no throughput (SURVEY.md §6), so this repo
+# benchmarks against its own bar and must only go up.
+BENCH_BASELINE_SUBMAPS_S = 8460.0
 
 
 def main():

@@ -228,7 +228,7 @@ class HOTFormerStage(nn.Module):
             Iter = nn.remat(HOTFormerIteration)
         ScanIter = nn.scan(
             Iter,
-            variable_axes={"params": 0},
+            variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True, "dropout": True, "droppath": True},
             in_axes=(nn.broadcast, nn.broadcast, 0),
             length=len(self.drop_paths))

@@ -117,3 +117,53 @@ class TestForward:
         # at least 90% of leaves get nonzero gradient signal
         nz = [np.any(np.asarray(l) != 0) for l in leaves]
         assert np.mean(nz) > 0.9
+
+
+class TestAblations:
+    """Every config ablation knob the reference exposes must produce a
+    working forward pass (misc/utils.py:15-101 schema; §2.9 SURVEY.md)."""
+
+    VARIANTS = {
+        "disable_rt": dict(disable_rt=True,
+                           pooling="PyramidAttnPoolMixer"),
+        "disable_rpe": dict(disable_rpe=True),
+        "xcpe": dict(xcpe=True),
+        "layer_scale": dict(layer_scale=1e-5),
+        "no_adape": dict(adape_mode=None),
+        "adape_pos": dict(adape_mode="pos"),
+        "adape_var": dict(adape_mode="var"),
+        "powernorm": dict(conv_norm="powernorm"),
+        "batchnorm": dict(conv_norm="batchnorm"),
+        "rt_propagation": dict(rt_propagation=True,
+                               rt_propagation_scale=0.5),
+        "no_stem_down": dict(downsample_input_embeddings=False,
+                             octree_depth=5),
+        "rt_size2": dict(rt_size=2),
+    }
+
+    @pytest.mark.parametrize("name", sorted(VARIANTS))
+    def test_forward_variant(self, name):
+        cfg = tiny_test_config(**self.VARIANTS[name])
+        model = HOTFormerLoc(cfg)
+        rng = np.random.default_rng(1)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        params = model.init(jax.random.PRNGKey(0), pts, mask)
+        out = model.apply(params, pts, mask)["global"]
+        assert out.shape == (2, cfg.output_dim)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    @pytest.mark.parametrize("pooling", [
+        "OctGeM", "PyramidOctGeM", "PyramidOctGeMgc",
+        "PyramidAttnPoolMixer", "AttnPoolMixer", "AttnPoolGeM"])
+    def test_pooling_heads(self, pooling):
+        kw = {"pooling": pooling}
+        cfg = tiny_test_config(**kw)
+        model = HOTFormerLoc(cfg)
+        rng = np.random.default_rng(2)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        params = model.init(jax.random.PRNGKey(0), pts, mask)
+        out = model.apply(params, pts, mask)["global"]
+        assert out.shape == (2, cfg.output_dim)
+        assert np.all(np.isfinite(np.asarray(out)))

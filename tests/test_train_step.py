@@ -166,3 +166,30 @@ class TestSchedules:
             st = tx.init(p)
             up, _ = tx.update({"w": jnp.ones((3,))}, st, p)
             assert np.isfinite(np.asarray(up["w"])).all()
+
+
+class TestBatchStats:
+    def test_batchnorm_state_updates_in_train_step(self):
+        """conv_norm=batchnorm threads mutable batch_stats through the
+        jitted train step (running stats must change)."""
+        cfg = tiny_test_config(drop_path=0.0, num_points=256,
+                               conv_norm="batchnorm")
+        model = HOTFormerLoc(cfg)
+        loss_fn = make_loss("truncatedsmoothap", positives_per_query=1)
+        tx = make_optimizer("adam", lr_schedule(1e-3, 1, 10,
+                                                scheduler="constant"))
+        batch = synthetic_batch(np.random.default_rng(1), 8,
+                                cfg.num_points)
+        state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
+        assert "batch_stats" in state.model_state
+        before = jax.tree_util.tree_map(
+            np.asarray, state.model_state["batch_stats"])
+        step = make_train_step(model, tx, loss_fn, StepConfig())
+        state, stats = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(stats["loss"]))
+        after = state.model_state["batch_stats"]
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(np.abs(np.asarray(a)
+                                      - np.asarray(b)).max()),
+            before, after)
+        assert max(jax.tree_util.tree_leaves(diffs)) > 0.0
