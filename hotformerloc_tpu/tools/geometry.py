@@ -98,6 +98,18 @@ def radius_query(points: np.ndarray, queries: np.ndarray,
     """
     if len(points) == 0 or len(queries) == 0:
         return [np.array([], dtype=np.int64) for _ in range(len(queries))]
+    if points.shape[1] == 2:
+        # native grid-hashed search (native/pointops.cpp) beats the
+        # sklearn KDTree on the tuple-generation workloads. Centre the
+        # coordinates first: the native path is fp32 and raw UTM
+        # eastings/northings (~1e6 m) would quantise at ~0.1-1 m.
+        from hotformerloc_tpu.data import native
+        if native.load_library(build_if_missing=False) is not None:
+            mid = points.mean(axis=0)
+            offsets, idx = native.radius_search_2d(points - mid,
+                                                   queries - mid, radius)
+            return [np.sort(idx[offsets[q]:offsets[q + 1]])
+                    for q in range(len(queries))]
     try:
         from sklearn.neighbors import KDTree
         tree = KDTree(points)

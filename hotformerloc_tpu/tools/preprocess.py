@@ -106,6 +106,13 @@ def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     if len(points) == 0:
         return points
     mn = points.min(0)
+    # native hashed-grid path (native/pointops.cpp); clouds are local
+    # lidar coords so the fp32 round-trip is exact to ~1e-5 m
+    from hotformerloc_tpu.data import native
+    if native.load_library(build_if_missing=False) is not None:
+        out = native.voxel_downsample(
+            (points - mn).astype(np.float32), float(voxel_size))
+        return out.astype(np.float64) + mn
     idx = np.floor((points - mn) / voxel_size).astype(np.int64)
     # lexicographic voxel key
     key = (idx[:, 0] * 73856093) ^ (idx[:, 1] * 19349663) \

@@ -217,3 +217,17 @@ class TestPostprocessPipeline:
             downsample_type="random", downsample_target=4096,
             voxel_size=0.8, normalise=False, min_num_points=4096)
         assert out is None
+
+
+class TestRadiusQueryNative:
+    def test_utm_scale_matches_brute_force(self):
+        """The fp32 native path must agree with float64 brute force on
+        UTM-magnitude coordinates (centring guards the precision)."""
+        from hotformerloc_tpu.tools.geometry import radius_query
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 200, (500, 2)) + [6.2e6, 4.5e5]
+        out = radius_query(pts, pts[:50], radius=3.0)
+        for q in range(50):
+            d2 = ((pts - pts[q]) ** 2).sum(1)
+            expect = np.sort(np.where(d2 <= 9.0)[0])
+            np.testing.assert_array_equal(out[q], expect)
