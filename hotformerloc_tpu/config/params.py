@@ -59,6 +59,7 @@ def parse_model_config(path: str, octree_depth: int = 9,
         rt_propagation=p.getboolean("ct_propagation", False),
         rt_propagation_scale=ct_prop_scale,
         disable_rt=p.getboolean("disable_rt", False),
+        octf_use_rt=p.getboolean("use_rt", False),
         adape_mode=adape,
         disable_rpe=p.getboolean("disable_RPE", False),
         conv_norm=p.get("conv_norm", "batchnorm"),

@@ -82,6 +82,8 @@ class OctFormerStage(nn.Module):
     @nn.compact
     def __call__(self, x, ctx, deterministic=True, train=False):
         c = self.cfg
+        if c.octf_use_rt:
+            return self._rt_forward(x, ctx, deterministic, train)
         Block = OctFormerBlock
         if c.grad_checkpoint:
             Block = nn.remat(OctFormerBlock, static_argnums=(4, 5))
@@ -92,6 +94,33 @@ class OctFormerStage(nn.Module):
                       c.xcpe, c.proj_drop, c.attn_drop,
                       use_pallas=c.use_pallas_attn, dtype=self.dtype,
                       name=f"block{i}")(x, ctx, dp, deterministic, train)
+        return x
+
+    def _rt_forward(self, x, ctx, deterministic, train):
+        """Ablation path (reference `use_rt` OctFormerBlock +
+        RTAttentionOld, models/octformer_backbone.py:101-171,232-260):
+        per-depth relay tokens, one per window, with per-depth RT
+        self-attention before each windowed block; dilation disabled."""
+        from hotformerloc_tpu.models.attention import TokenAttention
+        c = self.cfg
+        K = c.patch_size
+        rt = ow.masked_window_mean(x, ctx.node_valid, K)
+        wvalid = ow.window_valid(ctx.node_valid, K)
+        HBlock = HOTFormerBlock
+        if c.grad_checkpoint:
+            HBlock = nn.remat(HOTFormerBlock, static_argnums=(5, 6))
+        for i, dp in enumerate(self.drop_paths):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"rt_ln{i}")(rt)
+            h = TokenAttention(self.dim, self.num_heads, c.attn_drop,
+                               c.proj_drop, dtype=self.dtype,
+                               name=f"rt_attn{i}")(h, wvalid, deterministic)
+            rt = rt + h
+            x, rt = HBlock(self.dim, self.num_heads, K, c.mlp_ratio,
+                           not c.disable_rpe, c.conv_norm, c.layer_scale,
+                           c.xcpe, c.proj_drop, c.attn_drop,
+                           use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                           name=f"block{i}")(x, rt, ctx, dp, deterministic,
+                                             train)
         return x
 
 

@@ -32,6 +32,9 @@ class ModelConfig:
     rt_propagation: bool = False
     rt_propagation_scale: Optional[float] = None
     disable_rt: bool = False
+    # ablation: per-depth relay tokens inside the OctFormer stage
+    # (reference use_rt + RTAttentionOld path)
+    octf_use_rt: bool = False
     adape_mode: Optional[str] = "cov"     # None | 'pos' | 'var' | 'cov'
     disable_rpe: bool = False
     conv_norm: str = "layernorm"

@@ -51,3 +51,23 @@ def shard_batch(mesh: Mesh, tree):
         return jax.device_put(x, sh if ok else rep)
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def make_global_batch(mesh: Mesh, host_tree):
+    """Assemble a global batch from per-host shards on a multi-host
+    slice; single-process falls back to :func:`shard_batch`.
+
+    Each host feeds its own shard of the global batch (its slice of
+    samples AND the matching rows of the (B, B) positive/negative
+    masks); `jax.make_array_from_process_local_data` stitches them into
+    one global jax.Array sharded over the data axis, so the loss's
+    embedding all-gather rides ICI (SURVEY.md §2.10).
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, host_tree)
+    sh = batch_sharding(mesh)
+
+    def put(x):
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree_util.tree_map(put, host_tree)

@@ -30,7 +30,8 @@ from hotformerloc_tpu.data.pipeline import DataLoader, TrainingDataset
 from hotformerloc_tpu.data.sampler import BatchSampler
 from hotformerloc_tpu.losses.losses import make_loss
 from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc, param_count
-from hotformerloc_tpu.parallel.mesh import make_mesh, shard_batch
+from hotformerloc_tpu.parallel.mesh import (make_global_batch,
+                                            make_mesh)
 from hotformerloc_tpu.training.optim import lr_schedule, make_optimizer
 from hotformerloc_tpu.training.step import (StepConfig, TrainState,
                                             init_train_state,
@@ -222,7 +223,7 @@ class Trainer:
             nbatches = 0
             for batch in self.train_loader:
                 rng, sub = jax.random.split(rng)
-                sbatch = shard_batch(self.mesh, batch)
+                sbatch = make_global_batch(self.mesh, batch)
                 self.state, stats = step_fn(self.state, sbatch, sub)
                 for k, v in stats.items():
                     agg.setdefault(k, []).append(float(v))
@@ -240,7 +241,7 @@ class Trainer:
             if self.val_loader is not None:
                 vagg: Dict[str, list] = {}
                 for batch in self.val_loader:
-                    sbatch = shard_batch(self.mesh, batch)
+                    sbatch = make_global_batch(self.mesh, batch)
                     vstats = self.eval_step(self.state, sbatch)
                     for k, v in vstats.items():
                         vagg.setdefault(k, []).append(float(v))

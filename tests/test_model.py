@@ -139,6 +139,7 @@ class TestAblations:
         "no_stem_down": dict(downsample_input_embeddings=False,
                              octree_depth=5),
         "rt_size2": dict(rt_size=2),
+        "octf_use_rt": dict(octf_use_rt=True),
     }
 
     @pytest.mark.parametrize("name", sorted(VARIANTS))
