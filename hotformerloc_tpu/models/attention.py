@@ -120,15 +120,21 @@ class WindowAttention(nn.Module):
                                 preferred_element_type=jnp.float32) * scale
             if use_rpe:
                 # rel-pos bias: per-axis table rows summed over x/y/z
-                # (RPE, models/layers/octformer_layers.py:144-174)
+                # (RPE, models/layers/octformer_layers.py:144-174).
+                # Gather per axis from the transposed (H, 3*num) table so
+                # every temp keeps K (not H or 3) as the minor dim — a
+                # (..., 3, H) layout tile-pads ~21x on TPU and was the
+                # dominant HBM allocation of the whole train step.
                 num = 2 * bnd + 1
-                rel = (xyz_w[:, :, :, None, :]
-                       - xyz_w[:, :, None, :, :])         # (B,W,K,K,3)
-                idx = jnp.clip(rel, -bnd, bnd) + bnd
-                idx = idx + jnp.arange(3, dtype=jnp.int32) * num
-                bias = jnp.take(table.astype(self.dtype), idx, axis=0)
-                bias = jnp.sum(bias, axis=-2)              # (B,W,K,K,H)
-                bias = jnp.moveaxis(bias, -1, 2)
+                tab_t = table.astype(self.dtype).T         # (H, 3*num)
+                bias = None
+                for a in range(3):
+                    rel_a = (xyz_w[:, :, :, None, a]
+                             - xyz_w[:, :, None, :, a])    # (B,W,K,K)
+                    ia = jnp.clip(rel_a, -bnd, bnd) + bnd + a * num
+                    ba = jnp.take(tab_t, ia, axis=1)       # (H,B,W,K,K)
+                    bias = ba if bias is None else bias + ba
+                bias = jnp.moveaxis(bias, 0, 2)            # (B,W,H,K,K)
                 if G > 0:
                     bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
                                           (G, 0), (G, 0)))
