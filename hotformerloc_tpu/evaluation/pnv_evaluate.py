@@ -32,7 +32,16 @@ def load_model_embed_fn(params, weights: str = None):
                "pmask": jnp.ones((2, cfg.num_points), bool)}
     state = init_train_state(model, tx, jax.random.PRNGKey(0), example)
     if weights:
-        state, _, _ = load_checkpoint(weights, state)
+        try:
+            state, _, _ = load_checkpoint(weights, state)
+        except (ValueError, KeyError):
+            # params-only checkpoint (e.g. converted reference weights,
+            # tools/convert_reference_weights.py)
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(weights),
+                {"params": jax.device_get(state.params)})
+            state = state.replace(params=restored["params"])
     embed = make_embed_step(model)
     model_name = os.path.splitext(os.path.basename(weights))[0] \
         if weights else cfg.model

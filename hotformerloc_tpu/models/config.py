@@ -137,14 +137,16 @@ class ModelConfig:
 
 def oxford_config(**overrides) -> ModelConfig:
     """HOTFormerLoc-Oxford (models/hotformerloc_oxford_cfg.txt)."""
-    return ModelConfig(octree_depth=9, num_points=4096, patch_size=48,
-                       **overrides)
+    kw = dict(octree_depth=9, num_points=4096, patch_size=48)
+    kw.update(overrides)
+    return ModelConfig(**kw)
 
 
 def cs_wild_places_config(**overrides) -> ModelConfig:
     """HOTFormerLoc-CSWildPlaces (models/hotformerloc_cs-wild-places_cfg.txt)."""
-    return ModelConfig(octree_depth=7, num_points=4096, patch_size=64,
-                       **overrides)
+    kw = dict(octree_depth=7, num_points=4096, patch_size=64)
+    kw.update(overrides)
+    return ModelConfig(**kw)
 
 
 def tiny_test_config(**overrides) -> ModelConfig:
