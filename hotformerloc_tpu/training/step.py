@@ -39,6 +39,9 @@ class StepConfig:
     ema_decay: float = 0.9998     # ModelEmaV3 decay (trainer.py:160-163)
     mesa: float = 0.0             # MESA weight; > 0 enables distillation
     use_ema: bool = False
+    unroll: int = 1               # microbatch-scan unroll factor: lets XLA
+    # fuse the per-microbatch gradient accumulation (the step's HBM
+    # bandwidth hot spot) at the cost of a bigger HLO
 
 
 def init_train_state(model, tx, rng, example_batch,
@@ -145,7 +148,8 @@ def make_train_step(model, tx, loss_fn: Callable,
             return new_state, (emb, t_emb)
 
         new_state, (embs, t_embs) = jax.lax.scan(
-            s1, state.model_state, (pts_s, msk_s, idx))
+            s1, state.model_state, (pts_s, msk_s, idx),
+            unroll=min(cfg.unroll, A))
         embs = embs.reshape(B, -1)
 
         # Stage 2 — loss over the full batch, gradient w.r.t. embeddings.
@@ -169,7 +173,8 @@ def make_train_step(model, tx, loss_fn: Callable,
             (gi,) = vjp(g)
             return jax.tree_util.tree_map(jnp.add, acc, gi), None
 
-        grads, _ = jax.lax.scan(s3, zero_grads, (pts_s, msk_s, idx, g_emb))
+        grads, _ = jax.lax.scan(s3, zero_grads, (pts_s, msk_s, idx, g_emb),
+                                unroll=min(cfg.unroll, A))
         return _finish(state, grads, stats, new_state)
 
     def _finish(state, grads, stats, new_state):
