@@ -1,0 +1,94 @@
+"""Training-throughput benchmark on the flagship HOTFormerLoc-Oxford
+config (synthetic point clouds — the reference ships no data and
+publishes no throughput numbers, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against BENCH_BASELINE_SUBMAPS_S, the first
+recorded single-chip number for this repo (round 1 sets the bar).
+"""
+from __future__ import annotations
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+import json
+import time
+
+import numpy as np
+
+# Recorded v5e single-chip throughput bar (round 1, after the scanned
+# block loop + fused window attention landed: 8461 submaps/s). The
+# reference publishes no throughput (SURVEY.md §6), so this repo
+# benchmarks against its own bar and must only go up.
+BENCH_BASELINE_SUBMAPS_S = 8460.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hotformerloc_tpu.losses.losses import make_loss
+    from hotformerloc_tpu.models.config import oxford_config
+    from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc
+    from hotformerloc_tpu.training.optim import lr_schedule, make_optimizer
+    from hotformerloc_tpu.training.step import (StepConfig, init_train_state,
+                                                make_train_step)
+
+    B = 32                                   # per-step submaps (one chip)
+    cfg = oxford_config(grad_checkpoint=True)
+    model = HOTFormerLoc(cfg, dtype=jnp.bfloat16)
+    loss_fn = make_loss("truncatedsmoothap", positives_per_query=4)
+    sched = lr_schedule(5e-4, steps_per_epoch=100, epochs=150,
+                        warmup_epochs=5, milestones=[100])
+    tx = make_optimizer("adam", sched, weight_decay=1e-4)
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(-0.9, 0.9, (B // 2, cfg.num_points, 3)) \
+        .astype(np.float32)
+    pts = np.repeat(base, 2, axis=0)
+    pts += rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    groups = np.repeat(np.arange(B // 2), 2)
+    batch = {
+        "points": jnp.asarray(pts),
+        "pmask": jnp.ones((B, cfg.num_points), dtype=bool),
+        "positives_mask": jnp.asarray(
+            (groups[:, None] == groups[None]) & ~np.eye(B, dtype=bool)),
+        "negatives_mask": jnp.asarray(groups[:, None] != groups[None]),
+    }
+
+    state = init_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    # Multistage step (microbatch 8): the single-pass step at B=32
+    # needs ~27G HBM and OOMs the 16G v5e chip; multistage matches the
+    # production config (batch_split_size) anyway.
+    step = make_train_step(model, tx, loss_fn, StepConfig(accum_steps=4))
+
+    # warmup / compile
+    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    jax.block_until_ready(stats["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    with jax.profiler.trace("/tmp/jtrace"):
+        for i in range(iters):
+            state, stats = step(state, batch, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(stats["loss"])
+    dt = time.perf_counter() - t0
+    submaps_s = B * iters / dt
+
+    print(json.dumps({
+        "metric": "train_throughput_oxford_1chip",
+        "value": round(submaps_s, 2),
+        "unit": "submaps/s",
+        "vs_baseline": round(submaps_s / BENCH_BASELINE_SUBMAPS_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -188,6 +188,27 @@ class OctreeDownConvNormRelu(nn.Module):
         return nn.relu(y)
 
 
+class OctreeDeconvNormRelu(nn.Module):
+    """Kernel-[2] stride-2 transposed conv + norm + ReLU
+    (models/layers/octformer_layers.py:101-119 — imported by the
+    reference backbone but unused in shipped configs; provided for
+    parity). Upsamples depth-(d-1) features onto depth-d nodes."""
+    out_channels: int
+    conv_norm: str = "layernorm"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, parent, octant, valid=None, train: bool = False):
+        w = self.param("kernel", conv_kernel_init,
+                       (8, x.shape[-1], self.out_channels))
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        y = oconv.octree_deconv(x, parent, octant, w.astype(self.dtype),
+                                b.astype(self.dtype))
+        y = Norm(self.out_channels, self.conv_norm, self.dtype)(
+            y, valid, train)
+        return nn.relu(y)
+
+
 class Downsample(nn.Module):
     """Inter-stage downsample: kernel-[2] stride-2 conv + norm, no ReLU
     (models/octformer_backbone.py:456-469)."""

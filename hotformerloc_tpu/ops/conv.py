@@ -23,6 +23,7 @@ hand-writes with its inverse-neighbour CUDA trick
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -72,6 +73,34 @@ def octree_down_conv(x: jnp.ndarray, children: jnp.ndarray, w: jnp.ndarray,
                      b: jnp.ndarray | None = None) -> jnp.ndarray:
     """Kernel-[2] stride-2 conv: children (B, N_parent, 8), w (8, Cin, Cout)."""
     return octree_conv(x, children, w, b)
+
+
+def octree_deconv(x: jnp.ndarray, parent: jnp.ndarray,
+                  octant: jnp.ndarray, w: jnp.ndarray,
+                  b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Kernel-[2] stride-2 transposed conv (upsample): the adjoint of
+    `octree_down_conv`, ~ ocnn.nn.OctreeDeconv as consumed by
+    OctreeDeconvNormRelu (/root/reference/models/layers/
+    octformer_layers.py:101-119; imported by the backbone but never
+    instantiated in shipped configs).
+
+    x: (B, N_parent, Cin); parent: (B, N_child) int32 index of each
+    child's parent (-1 = padding); octant: (B, N_child) int32 in [0, 8);
+    w: (8, Cin, Cout). out[c] = w[octant(c)]^T x[parent(c)] — from the
+    child's perspective the scatter becomes a gather, so no scatter op
+    ever reaches XLA.
+    """
+    assert w.shape[0] == 8
+    B, Nc = parent.shape
+    safe = jnp.maximum(parent, 0)
+    xp = jnp.take_along_axis(x, safe[..., None], axis=1)   # (B, Nc, Cin)
+    xp = jnp.where((parent >= 0)[..., None], xp, 0)
+    oh = jax.nn.one_hot(octant, 8, dtype=x.dtype)          # (B, Nc, 8)
+    out = jnp.einsum("bnc,bnk,kco->bno", xp, oh, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
 
 
 def global_pool(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -105,6 +105,30 @@ class TestConv:
         np.testing.assert_allclose(got, np_conv(x, ch, w), rtol=1e-4,
                                    atol=1e-4)
 
+    def test_deconv_adjoint_of_down_conv(self):
+        # octree_deconv with (Cout, Cin)-transposed weights must equal the
+        # VJP of octree_down_conv — the relationship the reference encodes
+        # with its inverse-neighbour CUDA trick (dwconv.cu:74-97).
+        _, octree = _fixture(7)
+        rng = np.random.default_rng(7)
+        d = 5
+        ch = jnp.asarray(np.asarray(child_table(octree, d)))
+        parent = octree.parent(d)
+        octant = jnp.where(octree.node_valid(d),
+                           (octree.key(d) & 7).astype(jnp.int32), 0)
+        Np, Nc = octree.cap(d - 1), octree.cap(d)
+        x = jnp.asarray(rng.standard_normal((2, Nc, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((8, 4, 6)).astype(np.float32))
+        y = jnp.asarray(rng.standard_normal((2, Np, 6)).astype(np.float32))
+        _, vjp = jax.vjp(lambda x: oc.octree_down_conv(x, ch, w), x)
+        want = np.asarray(vjp(y)[0])
+        got = np.asarray(oc.octree_deconv(y, parent, octant,
+                                          jnp.transpose(w, (0, 2, 1))))
+        # padding children gather parent 0's value but contribute nothing
+        # downstream; compare on valid nodes only.
+        vm = np.asarray(octree.node_valid(d))[..., None]
+        np.testing.assert_allclose(got * vm, want * vm, rtol=1e-4, atol=1e-4)
+
     def test_global_pool(self):
         rng = np.random.default_rng(4)
         x = rng.standard_normal((3, 16, 5)).astype(np.float32)
