@@ -23,11 +23,31 @@ import time
 
 import numpy as np
 
-# Recorded v5e single-chip throughput bar (round 1, after the scanned
-# block loop + fused window attention landed: 8461 submaps/s). The
-# reference publishes no throughput (SURVEY.md §6), so this repo
-# benchmarks against its own bar and must only go up.
-BENCH_BASELINE_SUBMAPS_S = 8460.0
+# Recorded v5e single-chip throughput bar (best recorded number —
+# BENCH_r01.json, round 1). The reference publishes no throughput
+# (SURVEY.md §6), so this repo benchmarks against its own bar and the
+# metric must only go up (CLAUDE.md rule).
+BENCH_BASELINE_SUBMAPS_S = 11891.84
+
+# Peak dense matmul throughput per chip (bf16), for MFU accounting.
+# Sources: public TPU spec sheets; "How to Scale Your Model" ch. 2.
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def _chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for name, peak in _PEAK_FLOPS.items():
+        if name.lower() in kind.lower():
+            return peak
+    return 0.0  # unknown chip (e.g. CPU run): MFU reported as 0
 
 
 def main():
@@ -69,23 +89,41 @@ def main():
     # production config (batch_split_size) anyway.
     step = make_train_step(model, tx, loss_fn, StepConfig(accum_steps=4))
 
-    # warmup / compile
-    state, stats = step(state, batch, jax.random.PRNGKey(0))
+    # Lower+compile once so XLA's own cost analysis (FLOPs / bytes) is
+    # available for roofline/MFU accounting (SURVEY.md §5).
+    compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
+    bytes_per_step = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
+
+    # warmup
+    state, stats = compiled(state, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(stats["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        state, stats = step(state, batch, jax.random.PRNGKey(i + 1))
+        state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
     jax.block_until_ready(stats["loss"])
     dt = time.perf_counter() - t0
     submaps_s = B * iters / dt
+
+    step_s = dt / iters
+    peak = _chip_peak_flops()
+    mfu = (flops_per_step / step_s) / peak if peak > 0 else 0.0
 
     print(json.dumps({
         "metric": "train_throughput_oxford_1chip",
         "value": round(submaps_s, 2),
         "unit": "submaps/s",
         "vs_baseline": round(submaps_s / BENCH_BASELINE_SUBMAPS_S, 3),
+        "flops_per_step": flops_per_step,
+        "bytes_per_step": bytes_per_step,
+        "step_ms": round(step_s * 1e3, 3),
+        "mfu": round(mfu, 4),
+        "device": jax.devices()[0].device_kind,
     }))
 
 

@@ -56,29 +56,71 @@ def get_query_database_splits(dataset_name: str):
 
 
 def retrieval_topk(queries: np.ndarray, database: np.ndarray,
-                   k: int = NUM_NEIGHBORS):
+                   k: int = NUM_NEIGHBORS, mesh=None):
     """Top-k nearest database entries per query by L2 distance.
 
-    Embeddings are L2-normalised, so argmin L2 == argmax cosine; the
-    whole search is one (Q, D) MXU matmul + top_k. With the database
-    sharded along the mesh data axis, XLA turns this into a distributed
-    matmul + all-gathered top-k merge — the TPU replacement for the
-    reference's per-host sklearn KDTree (pnv_evaluate.py:201-220).
+    Embeddings are L2-normalised, so argmin L2 == argmax cosine.
+    Single device: one (Q, D) MXU matmul + top_k. With a mesh, the
+    database rows are sharded over the data axis: each device computes
+    a (Q, D/n) matmul + local top-k, the per-shard candidates are
+    all-gathered over ICI, and the final top-k merges them — the TPU
+    replacement for the reference's host-side sklearn KDTree
+    (/root/reference/eval/pnv_evaluate.py:201-220). Matches the
+    single-device result exactly (up to distance ties).
     """
     q = jnp.asarray(queries, jnp.float32)
     d = jnp.asarray(database, jnp.float32)
-    k = min(k, d.shape[0])
+    D = d.shape[0]
+    k = min(k, D)
 
-    @jax.jit
-    def _topk(q, d):
-        sim = q @ d.T
+    def dist2_of(q, dpart):
+        sim = q @ dpart.T
         qn = jnp.sum(q * q, axis=1, keepdims=True)
-        dn = jnp.sum(d * d, axis=1)[None, :]
-        dist2 = jnp.maximum(qn + dn - 2.0 * sim, 0.0)
-        neg, idx = jax.lax.top_k(-dist2, k)
-        return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+        dn = jnp.sum(dpart * dpart, axis=1)[None, :]
+        return jnp.maximum(qn + dn - 2.0 * sim, 0.0)
 
-    dist, idx = _topk(q, d)
+    if mesh is None or mesh.size == 1:
+        @jax.jit
+        def _topk(q, d):
+            neg, idx = jax.lax.top_k(-dist2_of(q, d), k)
+            return jnp.sqrt(jnp.maximum(-neg, 0.0)), idx
+
+        dist, idx = _topk(q, d)
+        return np.asarray(dist), np.asarray(idx)
+
+    from jax.sharding import PartitionSpec as P
+
+    from hotformerloc_tpu.parallel.mesh import DATA_AXIS
+
+    n = mesh.size
+    shard = -(-D // n)                       # ceil(D / n)
+    pad = shard * n - D
+    dpad = jnp.pad(d, ((0, pad), (0, 0)))
+    valid = jnp.arange(shard * n) < D
+    kl = min(k, shard)                       # per-shard candidate count
+
+    def shard_fn(q, dloc, vloc):
+        # dloc: (shard, C) this device's database rows; q replicated.
+        dist2 = jnp.where(vloc[None, :], dist2_of(q, dloc), jnp.inf)
+        neg, idx = jax.lax.top_k(-dist2, kl)
+        gidx = idx + jax.lax.axis_index(DATA_AXIS) * shard
+        # (n, Q, kl) candidates on every device -> replicated merge.
+        negs = jax.lax.all_gather(neg, DATA_AXIS)
+        gidxs = jax.lax.all_gather(gidx, DATA_AXIS)
+        negs = jnp.moveaxis(negs, 0, 1).reshape(q.shape[0], n * kl)
+        gidxs = jnp.moveaxis(gidxs, 0, 1).reshape(q.shape[0], n * kl)
+        neg_k, pos = jax.lax.top_k(negs, k)
+        idx_k = jnp.take_along_axis(gidxs, pos, axis=1)
+        return jnp.sqrt(jnp.maximum(-neg_k, 0.0)), idx_k
+
+    # check_vma=False: the outputs ARE replicated (every device merges
+    # the same all-gathered candidate set) but the static
+    # varying-mesh-axes check cannot prove it through top_k.
+    fn = jax.jit(jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(), P()), check_vma=False))
+    dist, idx = fn(q, dpad, valid)
     return np.asarray(dist), np.asarray(idx)
 
 
@@ -114,9 +156,14 @@ def get_latent_vectors(embed_fn: Callable, data_set: Dict, params,
         clouds.append(pc)
         rows.append(i)
         if len(clouds) >= bs or i == len(keys) - 1:
+            n_real = len(clouds)
+            # Pad the ragged final chunk to the full batch size so the
+            # jitted embed_fn sees one static shape (a short tail batch
+            # would trigger a second XLA compile per run set).
+            clouds += [clouds[-1]] * (bs - n_real)
             pts, msk = pack_clouds(clouds, P)
             emb = np.asarray(embed_fn(jnp.asarray(pts), jnp.asarray(msk)))
-            embeddings[rows[0]:rows[-1] + 1] = emb[:len(clouds)]
+            embeddings[rows[0]:rows[-1] + 1] = emb[:n_real]
             clouds, rows = [], []
     return embeddings
 
@@ -161,14 +208,15 @@ def _log_forensics(model_name: str, query_details: Dict, db_set: Dict,
 
 def get_recall(m: int, n: int, database_vectors, query_vectors, query_sets,
                database_sets, log: bool = False,
-               model_name: str = "model"):
+               model_name: str = "model", mesh=None):
     """AR@N / AR@1% / MRR for one (database run m, query run n) pair
     (pnv_evaluate.py:193-278). log=True appends false-positive and
-    top-5 forensics to <model_name>_log_*.txt."""
+    top-5 forensics to <model_name>_log_*.txt. mesh: optional device
+    mesh for database-sharded retrieval."""
     db = database_vectors[m]
     qv = query_vectors[n]
     threshold = max(int(round(len(db) / 100.0)), 1)
-    dist, indices = retrieval_topk(qv, db, NUM_NEIGHBORS)
+    dist, indices = retrieval_topk(qv, db, NUM_NEIGHBORS, mesh=mesh)
 
     recall = np.zeros(NUM_NEIGHBORS)
     recall_idx = []
@@ -202,7 +250,7 @@ def get_recall(m: int, n: int, database_vectors, query_vectors, query_sets,
 
 def evaluate_dataset(embed_fn, params, database_sets, query_sets,
                      debug: bool = False, log: bool = False,
-                     model_name: str = "model") -> Dict:
+                     model_name: str = "model", mesh=None) -> Dict:
     """One location: embed all runs, score all (db-run, query-run) pairs
     (pnv_evaluate.py:70-113)."""
     database_embeddings = [get_latent_vectors(embed_fn, s, params, debug)
@@ -222,7 +270,7 @@ def evaluate_dataset(embed_fn, params, database_sets, query_sets,
             r, opr, mrr = get_recall(i, j, database_embeddings,
                                      query_embeddings, query_sets,
                                      database_sets, log=log,
-                                     model_name=model_name)
+                                     model_name=model_name, mesh=mesh)
             recall += r
             count += 1
             oprs.append(opr)
@@ -234,7 +282,7 @@ def evaluate_dataset(embed_fn, params, database_sets, query_sets,
 
 
 def evaluate(embed_fn, params, debug: bool = False, log: bool = False,
-             model_name: str = "model") -> Dict:
+             model_name: str = "model", mesh=None) -> Dict:
     """All locations for the configured dataset (pnv_evaluate.py:26-67)."""
     db_files, q_files = get_query_database_splits(params.dataset_name)
     stats = {}
@@ -247,7 +295,8 @@ def evaluate(embed_fn, params, debug: bool = False, log: bool = False,
         with open(os.path.join(params.dataset_folder, qf), "rb") as f:
             query_sets = pickle.load(f)
         s = evaluate_dataset(embed_fn, params, database_sets, query_sets,
-                             debug, log=log, model_name=model_name)
+                             debug, log=log, model_name=model_name,
+                             mesh=mesh)
         stats[loc] = s
         aggr["opr"].append(s["ave_one_percent_recall"])
         aggr["recall"].append(s["ave_recall"])

@@ -104,8 +104,9 @@ class OctFormerStage(nn.Module):
         from hotformerloc_tpu.models.attention import TokenAttention
         c = self.cfg
         K = c.patch_size
-        rt = ow.masked_window_mean(x, ctx.node_valid, K)
-        wvalid = ow.window_valid(ctx.node_valid, K)
+        chunk = K // c.rt_size      # nodes summarised per relay token
+        rt = ow.masked_window_mean(x, ctx.node_valid, chunk)
+        wvalid = ow.window_valid(ctx.node_valid, chunk)
         HBlock = HOTFormerBlock
         if c.grad_checkpoint:
             HBlock = nn.remat(HOTFormerBlock, static_argnums=(5, 6))
@@ -118,7 +119,8 @@ class OctFormerStage(nn.Module):
             x, rt = HBlock(self.dim, self.num_heads, K, c.mlp_ratio,
                            not c.disable_rpe, c.conv_norm, c.layer_scale,
                            c.xcpe, c.proj_drop, c.attn_drop,
-                           use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                           use_pallas=c.use_pallas_attn,
+                           rt_per_window=c.rt_size, dtype=self.dtype,
                            name=f"block{i}")(x, rt, ctx, dp, deterministic,
                                              train)
         return x
@@ -139,12 +141,13 @@ class HOTFormerIteration(nn.Module):
     def __call__(self, carry, ctxs, rt_mask, drop_rate):
         c = self.cfg
         K = c.patch_size
+        chunk = K // c.rt_size      # nodes summarised per relay token
         L = c.num_pyramid_levels
         use_proj = c.use_projections
         max_ch = max(self.channels)
         max_heads = self.num_heads[self.channels.index(max_ch)]
         rt_comb, locals_ = carry
-        widths = [ctx.node_valid.shape[1] // K for ctx in ctxs]
+        widths = [ctx.node_valid.shape[1] // chunk for ctx in ctxs]
 
         rt_comb = RelayTokenBlock(
             max_ch, max_heads, c.mlp_ratio, c.layer_scale, c.proj_drop,
@@ -164,7 +167,8 @@ class HOTFormerIteration(nn.Module):
                 self.channels[j], self.num_heads[j], K, c.mlp_ratio,
                 not c.disable_rpe, c.conv_norm, c.layer_scale, c.xcpe,
                 c.proj_drop, c.attn_drop, last=False, rt_propagation=False,
-                use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                use_pallas=c.use_pallas_attn, rt_per_window=c.rt_size,
+                dtype=self.dtype,
                 name=f"hosa{j}")(locals_[j], rt_j, ctxs[j], drop_rate,
                                  self.deterministic, self.train)
             if use_proj:
@@ -193,6 +197,13 @@ class HOTFormerStage(nn.Module):
                  deterministic=True, train=False):
         c = self.cfg
         K = c.patch_size
+        # ct_size/rt_size: G = c.rt_size relay tokens per window, each
+        # summarising a contiguous chunk of K/G nodes (the reference
+        # TokenInitialiser's view(-1, K//G, C) + nanmean,
+        # models/hotformerloc_backbone.py:319-333). ADaPE stats are
+        # computed per chunk here (the reference's per-window stats
+        # shape-mismatch for rt_size>1 and no shipped config uses it).
+        chunk = K // c.rt_size
         L = c.num_pyramid_levels
         depths = [depth - j for j in range(L)]
         oc = plan.octree
@@ -209,7 +220,7 @@ class HOTFormerStage(nn.Module):
                     locals_[j], plan.children(depths[j]),
                     oc.node_valid(depths[j + 1]), train))
 
-        wvalids = [ow.window_valid(ctx.node_valid, K) for ctx in ctxs]
+        wvalids = [ow.window_valid(ctx.node_valid, chunk) for ctx in ctxs]
         widths = [v.shape[1] for v in wvalids]
 
         if c.disable_rt:
@@ -236,10 +247,10 @@ class HOTFormerStage(nn.Module):
         adape = ADaPE(max_ch, self.dtype, name="rt_adape") \
             if c.adape_mode else None
         for j, d in enumerate(depths):
-            rt = ow.masked_window_mean(locals_[j], ctxs[j].node_valid, K)
+            rt = ow.masked_window_mean(locals_[j], ctxs[j].node_valid, chunk)
             if adape is not None:
                 stats = ow.window_stats(ctxs[j].xyz, ctxs[j].node_valid, d,
-                                        K, c.adape_mode)
+                                        chunk, c.adape_mode)
                 pe = adape(stats, deterministic)
                 if use_proj:
                     pe = dense(self.channels[j], self.dtype,
@@ -279,7 +290,7 @@ class HOTFormerStage(nn.Module):
                 if use_proj:
                     rt_j = dense(self.channels[j], self.dtype,
                                  name=f"prop_down_proj{j}")(rt_j)
-                up = jnp.repeat(rt_j, K, axis=1)
+                up = jnp.repeat(rt_j, chunk, axis=1)
                 up = jnp.where(ctxs[j].node_valid[..., None], up, 0)
                 if c.rt_propagation_scale is not None:
                     g = self.param(f"rt_gamma_propagate{j}",

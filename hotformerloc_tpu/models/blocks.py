@@ -107,24 +107,32 @@ class HOTFormerBlock(nn.Module):
     rt_propagation: bool = False
     rt_propagation_scale: Optional[float] = None
     use_pallas: bool = False
+    rt_per_window: int = 1   # ct_size/rt_size: G relay slots per window
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, rt, ctx: LevelCtx, drop_path=0.0,
                  deterministic: bool = True, train: bool = False):
-        # x: (B, N, C) locals; rt: (B, W, C) relay tokens of this level.
-        K = self.patch_size
+        # x: (B, N, C) locals; rt: (B, W*G, C) relay tokens of this
+        # level, G = rt_per_window, RT g of window w at row w*G+g (each
+        # RT summarises a contiguous K/G-node chunk, matching the
+        # reference TokenInitialiser's view(-1, K//G, C) layout,
+        # models/hotformerloc_backbone.py:319-333).
+        K, G = self.patch_size, self.rt_per_window
         x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
             x, ctx.neigh, ctx.node_valid, train)
         xw = ow.data_to_windows(x, K)                       # (B, W, K, C)
+        B, W = xw.shape[:2]
         node_mask_w = ow.window_key_mask(ctx.node_valid, K)  # (B, W, K)
-        wvalid = jnp.any(node_mask_w, axis=-1)              # (B, W)
-        t = jnp.concatenate([rt[:, :, None, :], xw], axis=2)  # (B, W, 1+K, C)
-        key_mask = jnp.concatenate([wvalid[:, :, None], node_mask_w], axis=2)
+        # RT g is valid iff its K/G-node chunk has a valid node.
+        rt_valid = jnp.any(node_mask_w.reshape(B, W, G, K // G), axis=-1)
+        rt_w = rt.reshape(B, W, G, -1)
+        t = jnp.concatenate([rt_w, xw], axis=2)             # (B, W, G+K, C)
+        key_mask = jnp.concatenate([rt_valid, node_mask_w], axis=2)
         xyz_w = ow.data_to_windows(ctx.xyz, K) if self.use_rpe else None
 
         h = nn.LayerNorm(dtype=self.dtype)(t)
-        h = WindowAttention(self.dim, self.num_heads, K, 1, 1, self.use_rpe,
+        h = WindowAttention(self.dim, self.num_heads, K, 1, G, self.use_rpe,
                             self.attn_drop, self.proj_drop,
                             use_pallas=self.use_pallas,
                             dtype=self.dtype)(h, key_mask, xyz_w,
@@ -137,12 +145,12 @@ class HOTFormerBlock(nn.Module):
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
         t = t + DropPath()(h, drop_path, deterministic)
 
-        rt = t[:, :, 0, :]
-        x = ow.windows_to_data(t[:, :, 1:, :], K)
+        rt = t[:, :, :G, :].reshape(B, W * G, -1)
+        x = ow.windows_to_data(t[:, :, G:, :], K)
         if self.last and self.rt_propagation:
-            # Broadcast each window's RT to its K nodes, masked to valid
+            # Broadcast each RT to its K/G chunk nodes, masked to valid
             # nodes (reference nearest-upsample + rt_init_mask path).
-            up = jnp.repeat(rt, K, axis=1)                  # (B, W*K, C)
+            up = jnp.repeat(rt, K // G, axis=1)             # (B, W*K, C)
             up = jnp.where(ctx.node_valid[..., None], up, 0)
             if self.rt_propagation_scale is not None:
                 g = self.param("rt_gamma_propagate",

@@ -57,6 +57,20 @@ class ModelConfig:
     capacities: Optional[Tuple[int, ...]] = None  # per depth from min_depth
     grad_checkpoint: bool = True
 
+    def __post_init__(self):
+        # patch_size must be divisible by ct_size/rt_size (reference
+        # assert, models/hotformerloc_backbone.py:310).
+        if self.rt_size < 1 or self.patch_size % self.rt_size != 0:
+            raise ValueError(
+                f"patch_size ({self.patch_size}) must be divisible by "
+                f"ct_size/rt_size ({self.rt_size})")
+        if "N" in self.input_features:
+            raise NotImplementedError(
+                "input feature 'N' (normals) requires per-point normals; "
+                "no shipped dataset or config provides them (reference "
+                "models/model_factory.py:9-23 parses 'N' but every "
+                "released config uses 'P'). Supply 'P'/'L'/'D' instead.")
+
     # -- derived ---------------------------------------------------------
     @property
     def num_stages(self) -> int:

@@ -52,9 +52,12 @@ class MaskedBatchNorm(nn.Module):
 
     The reference's BatchNorm1d sees only real (ragged) nodes; with our
     padded layout the batch statistics must exclude padding.
+
+    momentum follows torch BatchNorm1d semantics: torch's momentum=0.1
+    updates running = 0.9*running + 0.1*batch, i.e. m=0.9 here.
     """
     features: int
-    momentum: float = 0.99
+    momentum: float = 0.9
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
@@ -116,9 +119,11 @@ class PowerNorm(nn.Module):
 
     Simplified from /root/reference/models/layers/mask_powernorm.py:97-180
     (not used by any shipped config; provided for feature parity).
+    momentum matches the reference's alpha_fwd=0.9 default
+    (mask_powernorm.py:103).
     """
     features: int
-    momentum: float = 0.99
+    momentum: float = 0.9
     eps: float = 1e-5
     dtype: Dtype = jnp.float32
 
@@ -192,14 +197,21 @@ class OctreeDeconvNormRelu(nn.Module):
     """Kernel-[2] stride-2 transposed conv + norm + ReLU
     (models/layers/octformer_layers.py:101-119 — imported by the
     reference backbone but unused in shipped configs; provided for
-    parity). Upsamples depth-(d-1) features onto depth-d nodes."""
+    parity). Upsamples depth-(d-1) features onto depth-d nodes.
+
+    Init note: each output node receives exactly ONE tap (its parent via
+    one octant slice), so the effective fan-in is Cin, not 8*Cin; the
+    variance_scaling scale of 8 compensates for the (8, Cin, Cout)
+    parameter shape."""
     out_channels: int
     conv_norm: str = "layernorm"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, parent, octant, valid=None, train: bool = False):
-        w = self.param("kernel", conv_kernel_init,
+        deconv_init = nn.initializers.variance_scaling(
+            8.0, "fan_in", "truncated_normal")
+        w = self.param("kernel", deconv_init,
                        (8, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         y = oconv.octree_deconv(x, parent, octant, w.astype(self.dtype),

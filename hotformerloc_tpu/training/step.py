@@ -44,11 +44,58 @@ class StepConfig:
     # bandwidth hot spot) at the cost of a bigger HLO
 
 
+def apply_qkv_init(params, rng, spec: str):
+    """Re-initialise every qkv projection kernel per the model config's
+    `qkv_init` mode — the reference walks named_modules() post-init and
+    re-inits Linear layers whose path contains 'qkv'
+    (/root/reference/models/hotformerloc_backbone.py:785-805). Here the
+    same walk runs over the flax param pytree.
+
+    spec: "mode[,std]" with mode in torch_default | trunc_normal |
+    xavier_uniform | xavier_normal | kaiming_uniform | kaiming_normal.
+    Variance formulas follow torch.nn.init with gain('relu')=sqrt(2);
+    flax kernels are (fan_in, fan_out).
+    """
+    parts = [s.strip() for s in str(spec).split(",")]
+    mode = parts[0]
+    if mode == "torch_default":
+        return params
+    import flax.linen as fnn
+    if mode == "trunc_normal":
+        std = float(parts[1]) if len(parts) > 1 else 0.02
+        init = fnn.initializers.truncated_normal(std)
+    elif mode == "xavier_uniform":
+        init = fnn.initializers.variance_scaling(2.0, "fan_avg", "uniform")
+    elif mode == "xavier_normal":
+        init = fnn.initializers.variance_scaling(2.0, "fan_avg", "normal")
+    elif mode == "kaiming_uniform":
+        init = fnn.initializers.variance_scaling(2.0, "fan_in", "uniform")
+    elif mode == "kaiming_normal":
+        init = fnn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    else:
+        raise ValueError(f"Invalid qkv_init type: {mode}")
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    leaves, treedef = flat[0], flat[1]
+    out = []
+    for i, (path, leaf) in enumerate(leaves):
+        names = [str(getattr(p, "key", p)) for p in path]
+        if any("qkv" in n for n in names) and names[-1] == "kernel":
+            out.append(init(jax.random.fold_in(rng, i), leaf.shape,
+                            leaf.dtype))
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def init_train_state(model, tx, rng, example_batch,
-                     use_ema: bool = False) -> TrainState:
+                     use_ema: bool = False,
+                     qkv_init: Optional[str] = None) -> TrainState:
     points, pmask = example_batch["points"], example_batch["pmask"]
     variables = model.init(rng, points, pmask)
     params = variables["params"]
+    if qkv_init:
+        params = apply_qkv_init(params, jax.random.fold_in(rng, 7), qkv_init)
     model_state = {k: v for k, v in variables.items() if k != "params"}
     # EMA starts as a *copy* of params: with donate_argnums on the jitted
     # step, aliased buffers would be donated twice and XLA rejects that.

@@ -182,9 +182,11 @@ class Trainer:
             "positives_mask": jnp.zeros((B, B), bool),
             "negatives_mask": jnp.zeros((B, B), bool),
         }
+        qkv_init = getattr(self.params.model_params, "qkv_init", None)
         self.state = init_train_state(self.model, self.tx,
                                       jax.random.PRNGKey(seed), example,
-                                      use_ema=self.use_ema)
+                                      use_ema=self.use_ema,
+                                      qkv_init=qkv_init)
         n = param_count(self.state.params)
         print(f"Model: {self.cfg.model}  parameters: {n}")
         if self.params.verbose:

@@ -231,3 +231,25 @@ class TestVisualisers:
         pts, wids = out[4]
         assert pts.shape[0] == wids.shape[0] > 0
         assert np.all(np.abs(pts) <= 1.0 + 1e-5)
+
+
+class TestProfileStepTool:
+    def test_write_report(self, tmp_path):
+        from hotformerloc_tpu.tools.profile_step import write_report
+        out = tmp_path / "PROFILE.md"
+        summary = {"device": "cpu", "flops_per_step": 1e9, "mfu": 0.1}
+        ops = [{"op": "fusion", "time_us": 10.0, "pct": 50.0},
+               {"op": "convolution", "time_us": 10.0, "pct": 50.0}]
+        write_report(str(out), summary, ops)
+        text = out.read_text()
+        assert "fusion" in text and "mfu" in text
+
+    def test_write_report_no_ops(self, tmp_path):
+        from hotformerloc_tpu.tools.profile_step import write_report
+        out = tmp_path / "PROFILE.md"
+        write_report(str(out), {"device": "cpu"}, [])
+        assert "no xplane data" in out.read_text()
+
+    def test_top_ops_missing_dir(self, tmp_path):
+        from hotformerloc_tpu.tools.profile_step import _top_ops_from_xplane
+        assert _top_ops_from_xplane(str(tmp_path / "nope")) == []

@@ -195,6 +195,36 @@ class TestRetrieval:
         np.testing.assert_allclose(dist, np.take_along_axis(d, expect, 1),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_topk_sharded_matches_single_device(self):
+        """Database-sharded retrieval over the 8-device virtual mesh
+        must reproduce the single-device result exactly (VERDICT r1 #6);
+        database size deliberately not divisible by the mesh."""
+        import jax
+
+        from hotformerloc_tpu.parallel.mesh import make_mesh
+        rng = np.random.default_rng(12)
+        q = rng.standard_normal((17, 32)).astype(np.float32)
+        db = rng.standard_normal((203, 32)).astype(np.float32)
+        mesh = make_mesh(jax.devices()[:8])
+        d0, i0 = retrieval_topk(q, db, 25)
+        d1, i1 = retrieval_topk(q, db, 25, mesh=mesh)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
+    def test_topk_sharded_small_db(self):
+        """Fewer database rows than mesh devices (padded shards)."""
+        import jax
+
+        from hotformerloc_tpu.parallel.mesh import make_mesh
+        rng = np.random.default_rng(13)
+        q = rng.standard_normal((5, 8)).astype(np.float32)
+        db = rng.standard_normal((6, 8)).astype(np.float32)
+        mesh = make_mesh(jax.devices()[:8])
+        d0, i0 = retrieval_topk(q, db, 25)
+        d1, i1 = retrieval_topk(q, db, 25, mesh=mesh)
+        np.testing.assert_array_equal(i0, i1)
+        np.testing.assert_allclose(d0, d1, rtol=1e-5, atol=1e-5)
+
     def test_get_recall_perfect_embeddings(self):
         # database run 0, query run 1; query i's true neighbour is db i.
         rng = np.random.default_rng(10)

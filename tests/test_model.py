@@ -168,3 +168,86 @@ class TestAblations:
         out = model.apply(params, pts, mask)["global"]
         assert out.shape == (2, cfg.output_dim)
         assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestConfigValidation:
+    def test_rt_size_must_divide_patch(self):
+        with pytest.raises(ValueError, match="divisible"):
+            tiny_test_config(rt_size=3)  # patch_size 8 % 3 != 0
+
+    def test_input_feature_normals_unsupported(self):
+        # explicit failure for 'N' (reference models/model_factory.py:9-23)
+        with pytest.raises(NotImplementedError, match="normals"):
+            tiny_test_config(input_features="PN")
+
+    def test_rt_size2_uses_rt_pooling(self):
+        """rt_size=2 doubles the relay-token count; the RT pooling head
+        must consume the widened rt_comb."""
+        cfg = tiny_test_config(rt_size=2, pooling="AttnPoolMixer")
+        model = HOTFormerLoc(cfg)
+        rng = np.random.default_rng(5)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        params = model.init(jax.random.PRNGKey(0), pts, mask)
+        out = model.apply(params, pts, mask)["global"]
+        assert out.shape == (2, cfg.output_dim)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestQkvInit:
+    """qkv_init modes re-initialise only qkv kernels
+    (reference models/hotformerloc_backbone.py:785-805)."""
+
+    def _params(self):
+        cfg = tiny_test_config()
+        model = HOTFormerLoc(cfg)
+        rng = np.random.default_rng(6)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        return model.init(jax.random.PRNGKey(0), pts, mask)["params"]
+
+    @staticmethod
+    def _qkv_and_other(params):
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        qkv, other = [], []
+        for path, leaf in flat:
+            names = [str(getattr(p, "key", p)) for p in path]
+            (qkv if any("qkv" in n for n in names)
+             and names[-1] == "kernel" else other).append((names, leaf))
+        return qkv, other
+
+    def test_torch_default_noop(self):
+        from hotformerloc_tpu.training.step import apply_qkv_init
+        params = self._params()
+        out = apply_qkv_init(params, jax.random.PRNGKey(1), "torch_default")
+        assert out is params
+
+    @pytest.mark.parametrize("mode", [
+        "trunc_normal,0.5", "xavier_uniform", "xavier_normal",
+        "kaiming_uniform", "kaiming_normal"])
+    def test_modes_touch_only_qkv(self, mode):
+        from hotformerloc_tpu.training.step import apply_qkv_init
+        params = self._params()
+        out = apply_qkv_init(params, jax.random.PRNGKey(1), mode)
+        q0, o0 = self._qkv_and_other(params)
+        q1, o1 = self._qkv_and_other(out)
+        assert len(q0) > 0
+        changed = [not np.allclose(a[1], b[1]) for a, b in zip(q0, q1)]
+        assert all(changed)
+        for (_, a), (_, b) in zip(o0, o1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_trunc_normal_std(self):
+        from hotformerloc_tpu.training.step import apply_qkv_init
+        params = self._params()
+        out = apply_qkv_init(params, jax.random.PRNGKey(1),
+                             "trunc_normal,0.5")
+        q1, _ = self._qkv_and_other(out)
+        big = max(q1, key=lambda kv: kv[1].size)[1]
+        s = float(np.std(np.asarray(big)))
+        assert 0.3 < s < 0.6  # ~0.5 modulo truncation
+
+    def test_invalid_mode_raises(self):
+        from hotformerloc_tpu.training.step import apply_qkv_init
+        with pytest.raises(ValueError, match="Invalid qkv_init"):
+            apply_qkv_init(self._params(), jax.random.PRNGKey(1), "bogus")
