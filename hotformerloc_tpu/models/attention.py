@@ -45,7 +45,14 @@ def rpe_pos_bnd(patch_size: int, dilation: int) -> int:
     return int(0.8 * patch_size * dilation**0.5)
 
 
+# Window-tile override for the on-chip A/B tool (tools/pallas_ab.py);
+# None = automatic choice.
+_FORCED_WINDOW_TILE: Optional[int] = None
+
+
 def _pick_window_tile(bw: int, limit: int = 8) -> int:
+    if _FORCED_WINDOW_TILE is not None and bw % _FORCED_WINDOW_TILE == 0:
+        return _FORCED_WINDOW_TILE
     for wt in (limit, 4, 2, 1):
         if bw % wt == 0:
             return wt

@@ -23,7 +23,7 @@ from flax import linen as nn
 from hotformerloc_tpu.models.blocks import (HOTFormerBlock, OctFormerBlock,
                                             RelayTokenBlock)
 from hotformerloc_tpu.models.config import ModelConfig
-from hotformerloc_tpu.models.layers import (ADaPE, Downsample, Dtype,
+from hotformerloc_tpu.models.layers import (ADaPE, CPE, Downsample, Dtype,
                                             OctreeConvNormRelu,
                                             OctreeDownConvNormRelu, dense)
 from hotformerloc_tpu.ops import window as ow
@@ -111,7 +111,7 @@ class OctFormerStage(nn.Module):
         if c.grad_checkpoint:
             HBlock = nn.remat(HOTFormerBlock, static_argnums=(5, 6))
         for i, dp in enumerate(self.drop_paths):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"rt_ln{i}")(rt)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"rt_ln{i}")(rt)
             h = TokenAttention(self.dim, self.num_heads, c.attn_drop,
                                c.proj_drop, dtype=self.dtype,
                                name=f"rt_attn{i}")(h, wvalid, deterministic)
@@ -246,8 +246,27 @@ class HOTFormerStage(nn.Module):
         rts = []
         adape = ADaPE(max_ch, self.dtype, name="rt_adape") \
             if c.adape_mode else None
+        # Without ADaPE the reference's RelayTokenInitialiser runs a CPE
+        # over the window features before pooling (use_cpe = not
+        # use_ADaPE, models/hotformerloc_backbone.py:476-487,322-323);
+        # the CPE'd features feed ONLY the relay tokens, locals are
+        # untouched. Shared across levels unless channels differ.
+        rt_cpes = None
+        if adape is None:
+            if use_proj:
+                rt_cpes = [CPE(self.channels[j], c.conv_norm, c.xcpe,
+                               self.dtype, name=f"rt_init_cpe{j}")
+                           for j in range(L)]
+            else:
+                shared = CPE(max_ch, c.conv_norm, c.xcpe, self.dtype,
+                             name="rt_init_cpe")
+                rt_cpes = [shared] * L
         for j, d in enumerate(depths):
-            rt = ow.masked_window_mean(locals_[j], ctxs[j].node_valid, chunk)
+            src = locals_[j]
+            if rt_cpes is not None:
+                src = rt_cpes[j](src, ctxs[j].neigh, ctxs[j].node_valid,
+                                 train)
+            rt = ow.masked_window_mean(src, ctxs[j].node_valid, chunk)
             if adape is not None:
                 stats = ow.window_stats(ctxs[j].xyz, ctxs[j].node_valid, d,
                                         chunk, c.adape_mode)

@@ -69,7 +69,7 @@ class OctFormerBlock(nn.Module):
         key_mask = ow.window_key_mask(ctx.node_valid, K, D)
         xyz_w = ow.data_to_windows(ctx.xyz, K, D) if self.use_rpe else None
 
-        h = nn.LayerNorm(dtype=self.dtype)(xw)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xw)
         h = WindowAttention(self.dim, self.num_heads, K, D, 0, self.use_rpe,
                             self.attn_drop, self.proj_drop,
                             use_pallas=self.use_pallas,
@@ -77,7 +77,7 @@ class OctFormerBlock(nn.Module):
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
         xw = xw + DropPath()(h, drop_path, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(xw)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(xw)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
@@ -131,7 +131,7 @@ class HOTFormerBlock(nn.Module):
         key_mask = jnp.concatenate([rt_valid, node_mask_w], axis=2)
         xyz_w = ow.data_to_windows(ctx.xyz, K) if self.use_rpe else None
 
-        h = nn.LayerNorm(dtype=self.dtype)(t)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(t)
         h = WindowAttention(self.dim, self.num_heads, K, 1, G, self.use_rpe,
                             self.attn_drop, self.proj_drop,
                             use_pallas=self.use_pallas,
@@ -139,7 +139,7 @@ class HOTFormerBlock(nn.Module):
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
         t = t + DropPath()(h, drop_path, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(t)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(t)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
@@ -176,13 +176,13 @@ class RelayTokenBlock(nn.Module):
     @nn.compact
     def __call__(self, rt, rt_mask, drop_path=0.0,
                  deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype)(rt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(rt)
         h = TokenAttention(self.dim, self.num_heads, self.attn_drop,
                            self.proj_drop, dtype=self.dtype)(
             h, rt_mask, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
         rt = rt + DropPath()(h, drop_path, deterministic)
-        h = nn.LayerNorm(dtype=self.dtype)(rt)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(rt)
         h = Mlp(int(self.dim * self.mlp_ratio), self.dim, self.proj_drop,
                 self.dtype)(h, deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)

@@ -40,7 +40,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         x = dense(self.hidden, self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
         x = dense(self.out, self.dtype, name="fc2")(x)
         x = nn.Dropout(self.drop)(x, deterministic=deterministic)
@@ -102,7 +102,7 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, valid=None, train: bool = False):
         if self.kind == "layernorm":
-            return nn.LayerNorm(dtype=self.dtype)(x)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         elif self.kind == "batchnorm":
             return MaskedBatchNorm(self.features, dtype=self.dtype)(
                 x, valid, use_running_average=not train)

@@ -106,9 +106,9 @@ class FeatureMixerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = dense(int(self.dim * self.mlp_ratio), self.dtype)(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = dense(self.dim, self.dtype)(h)
         return x + h
 
@@ -174,7 +174,7 @@ class PyramidAttnPool(nn.Module):
                          self.mix_depth, self.mlp_ratio, self.dtype,
                          name="mixer")(t)
         elif self.aggregator.lower() == "gem":
-            h = nn.LayerNorm(dtype=self.dtype)(t)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(t)
             h = Mlp(int(self.feature_size * self.mlp_ratio),
                     self.output_dim, 0.0, self.dtype)(h, deterministic)
             t = t + h
@@ -205,7 +205,7 @@ class AttnPool(nn.Module):
                          out_d, self.mix_depth, self.mlp_ratio, self.dtype,
                          name="mixer")(t)
         elif self.aggregator.lower() == "gem":
-            h = nn.LayerNorm(dtype=self.dtype)(t)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(t)
             h = Mlp(int(self.feature_size * self.mlp_ratio),
                     self.output_dim, 0.0, self.dtype)(h, deterministic)
             t = t + h

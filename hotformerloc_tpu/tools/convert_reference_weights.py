@@ -39,9 +39,19 @@ def _t(w: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(w.T)
 
 
+def _normalize_key(k: str) -> str:
+    """Real checkpoints nest HOTFormerBase under the HOTFormer wrapper
+    (`backbone.backbone.*`, models/hotformerloc_backbone.py:688-811);
+    fold that onto the single `backbone.*` namespace used below."""
+    if k.startswith("backbone.backbone."):
+        return "backbone." + k[len("backbone.backbone."):]
+    return k
+
+
 class Converter:
     def __init__(self, state_dict: Dict[str, np.ndarray], cfg):
-        self.sd = {k: np.asarray(v) for k, v in state_dict.items()}
+        self.sd = {_normalize_key(k): np.asarray(v)
+                   for k, v in state_dict.items()}
         self.cfg = cfg
         self.used = set()
         self.out: Dict = {}
@@ -193,6 +203,17 @@ class Converter:
                             "backbone/hotf_stage/rt_adape/Mlp_0/fc1")
             self.map_linear("backbone.hotf_stage.rt_adape.mlp.fc2",
                             "backbone/hotf_stage/rt_adape/Mlp_0/fc2")
+        else:
+            # No ADaPE -> the RelayTokenInitialiser carries a CPE
+            # (use_cpe = not use_ADaPE, hotformerloc_backbone.py:476-487)
+            if c.use_projections:
+                for j in range(L):
+                    self.map_cpe(
+                        f"backbone.hotf_stage.relay_tokeniser.{j}.cpe",
+                        f"backbone/hotf_stage/rt_init_cpe{j}", pyr_ch[j])
+            else:
+                self.map_cpe("backbone.hotf_stage.relay_tokeniser.cpe",
+                             "backbone/hotf_stage/rt_init_cpe", max_ch)
         for j in range(L - 1):
             self.map_conv(f"backbone.hotf_stage.downsamples.{j}",
                           f"backbone/hotf_stage/downsample{j}", 8,
@@ -310,26 +331,26 @@ def synthesize_reference_state_dict(cfg, seed: int = 0):
     chans = [int(c.channels[0] * 2 ** i) for i in range(-c.stem_down, 1)]
     for i in range(c.stem_down):
         cin = c.in_channels if i == 0 else chans[i]
-        add_conv(f"backbone.patch_embed.convs.{i}", 27, cin, chans[i])
-        add_conv(f"backbone.patch_embed.downsamples.{i}", 8, chans[i],
+        add_conv(f"backbone.backbone.patch_embed.convs.{i}", 27, cin, chans[i])
+        add_conv(f"backbone.backbone.patch_embed.downsamples.{i}", 8, chans[i],
                  chans[i + 1])
-    add_conv("backbone.patch_embed.proj", 27, chans[-1], c.channels[0])
+    add_conv("backbone.backbone.patch_embed.proj", 27, chans[-1], c.channels[0])
 
     for i in range(c.num_octf_levels):
         for k in range(c.num_blocks[i]):
-            add_block(f"backbone.octf_stage.{i}.blocks.{k}", octf_ch[i],
+            add_block(f"backbone.backbone.octf_stage.{i}.blocks.{k}", octf_ch[i],
                       octf_h[i], K, 1 if k % 2 == 0 else c.dilation)
-        add_conv(f"backbone.downsample.{i}", 8, octf_ch[i],
+        add_conv(f"backbone.backbone.downsample.{i}", 8, octf_ch[i],
                  (octf_ch + pyr_ch)[i + 1], bias=True)
 
     for j in range(L):
         for i in range(nb):
-            add_block(f"backbone.hotf_stage.hosa_blocks.{j}.{i}",
+            add_block(f"backbone.backbone.hotf_stage.hosa_blocks.{j}.{i}",
                       pyr_ch[j], pyr_h[j], K, 1)
     max_ch = max(pyr_ch)
     max_h = pyr_h[pyr_ch.index(max_ch)]
     for i in range(nb):
-        base = f"backbone.hotf_stage.rtsa_blocks.{i}"
+        base = f"backbone.backbone.hotf_stage.rtsa_blocks.{i}"
         add_norm(f"{base}.norm1", max_ch)
         add_linear(f"{base}.rt_attention.qkv", max_ch, 3 * max_ch)
         add_linear(f"{base}.rt_attention.proj", max_ch, max_ch)
@@ -339,10 +360,15 @@ def synthesize_reference_state_dict(cfg, seed: int = 0):
         add_linear(f"{base}.mlp.fc2", hid, max_ch)
     if c.adape_mode:
         in_feat = {"pos": 3, "var": 6, "cov": 9}[c.adape_mode]
-        add_linear("backbone.hotf_stage.rt_adape.mlp.fc1", in_feat, max_ch)
-        add_linear("backbone.hotf_stage.rt_adape.mlp.fc2", max_ch, max_ch)
+        add_linear("backbone.backbone.hotf_stage.rt_adape.mlp.fc1", in_feat, max_ch)
+        add_linear("backbone.backbone.hotf_stage.rt_adape.mlp.fc2", max_ch, max_ch)
+    else:
+        base = "backbone.backbone.hotf_stage.relay_tokeniser"
+        sd[f"{base}.cpe.conv.weights"] = rng.normal(
+            0, 0.02, (27, 1, max_ch)).astype(np.float32)
+        add_norm(f"{base}.cpe.norm", max_ch)
     for j in range(L - 1):
-        add_conv(f"backbone.hotf_stage.downsamples.{j}", 8, pyr_ch[j],
+        add_conv(f"backbone.backbone.hotf_stage.downsamples.{j}", 8, pyr_ch[j],
                  pyr_ch[j + 1], bias=True)
 
     for j in range(L):

@@ -45,7 +45,7 @@ class TestConverter:
         """qkv kernels must be transposed torch weights."""
         sd = synthesize_reference_state_dict(cfg)
         params = convert_state_dict(dict(sd), cfg)
-        w_ref = sd["backbone.octf_stage.0.blocks.0.attention.qkv.weight"]
+        w_ref = sd["backbone.backbone.octf_stage.0.blocks.0.attention.qkv.weight"]
         w_new = params["backbone"]["octf_stage0"]["block0"][
             "WindowAttention_0"]["qkv"]["kernel"]
         np.testing.assert_array_equal(w_new, w_ref.T)
@@ -60,12 +60,12 @@ class TestConverter:
             "Mlp_0"]["fc1"]["kernel"]
         assert stacked.shape[0] == nb
         for i in range(nb):
-            ref = sd[f"backbone.hotf_stage.hosa_blocks.0.{i}.mlp.fc1.weight"]
+            ref = sd[f"backbone.backbone.hotf_stage.hosa_blocks.0.{i}.mlp.fc1.weight"]
             np.testing.assert_array_equal(stacked[i], ref.T)
 
     def test_missing_key_raises(self, cfg):
         sd = synthesize_reference_state_dict(cfg)
-        del sd["backbone.patch_embed.proj.conv.weights"]
+        del sd["backbone.backbone.patch_embed.proj.conv.weights"]
         with pytest.raises(KeyError):
             convert_state_dict(sd, cfg)
 
