@@ -99,8 +99,19 @@ class TrainingDataset:
         return pc
 
     def make_batch(self, labels: List[int], num_points: int,
-                   rng: np.random.Generator):
-        clouds = [self.load_cloud(l, rng) for l in labels]
+                   rng: np.random.Generator,
+                   local_slice: Optional[slice] = None):
+        """Assemble a batch (or, multi-host, one host's shard of it).
+
+        With ``local_slice`` only that contiguous row range of the
+        global batch is loaded; the (B, B) positive/negative masks are
+        computed from the full global label list and row-sliced, so the
+        shards stitched by `parallel.mesh.make_global_batch` reproduce
+        exactly the single-host batch (SURVEY.md §2.10: per-host input
+        pipeline feeding global batches).
+        """
+        local = labels if local_slice is None else labels[local_slice]
+        clouds = [self.load_cloud(l, rng) for l in local]
         if self.set_transform is not None:
             # same batch-level transform instance+draw for all clouds
             merged = np.concatenate(clouds, axis=0)
@@ -110,26 +121,50 @@ class TrainingDataset:
         clouds = [self.finalize_cloud(c) for c in clouds]
         pts, msk = pack_clouds(clouds, num_points, rng)
         pos, neg = masks_for_batch(self.queries, labels)
+        if local_slice is not None:
+            pos, neg = pos[local_slice], neg[local_slice]
         return {"points": pts, "pmask": msk,
                 "positives_mask": pos, "negatives_mask": neg}
 
 
 class DataLoader:
     """Epoch iterator with background prefetch (double-buffered thread),
-    so host batch assembly overlaps device compute."""
+    so host batch assembly overlaps device compute.
+
+    Multi-host: pass ``process_index`` / ``process_count``. Every host
+    must construct the SAME seeded sampler (identical global batch
+    lists); each host then loads only its contiguous row range of every
+    batch, aligned to the k=2 positive-pair groups, and the trainer
+    stitches the shards with `make_global_batch`. Batches whose size is
+    not divisible by ``process_count * K`` are skipped (the sampler's
+    ragged flush batch) so every host always holds the same row count.
+    """
 
     def __init__(self, dataset: TrainingDataset, sampler: BatchSampler,
-                 num_points: int, seed: int = 0, prefetch: int = 2):
+                 num_points: int, seed: int = 0, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.num_points = num_points
         self.seed = seed
         self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
+
+    def _local_slice(self, batch_len: int) -> Optional[slice]:
+        if self.process_count == 1:
+            return None
+        per = batch_len // self.process_count
+        return slice(self.process_index * per, (self.process_index + 1) * per)
 
     def __iter__(self) -> Iterator[dict]:
         batches = self.sampler.generate_batches()
-        rng = np.random.default_rng(self.seed + self.epoch)
+        if self.process_count > 1:
+            group = self.process_count * BatchSampler.K
+            batches = [b for b in batches if len(b) % group == 0]
+        rng = np.random.default_rng(
+            [self.seed + self.epoch, self.process_index])
         self.epoch += 1
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
@@ -137,8 +172,9 @@ class DataLoader:
         def worker():
             try:
                 for labels in batches:
-                    q.put(self.dataset.make_batch(labels, self.num_points,
-                                                  rng))
+                    q.put(self.dataset.make_batch(
+                        labels, self.num_points, rng,
+                        local_slice=self._local_slice(len(labels))))
             finally:
                 q.put(stop)
 

@@ -115,12 +115,22 @@ class Trainer:
         self.train_ds = TrainingDataset(
             params.dataset_folder, params.train_file, loader, tt, st,
             params.model_params.coordinates)
+        # Multi-host: all hosts build the SAME seeded sampler (identical
+        # global batch lists) and each loads only its row shard; the
+        # step assembles the global batch via make_global_batch
+        # (SURVEY.md §2.10).
+        import jax
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
         self.train_sampler = BatchSampler(
             self.train_ds.queries, params.batch_size,
             params.batch_size_limit, params.batch_expansion_rate,
-            max_batches=2 if params.debug else None)
+            max_batches=2 if params.debug else None,
+            seed=1234 if self.process_count > 1 else None)
         self.train_loader = DataLoader(self.train_ds, self.train_sampler,
-                                       cfg.num_points)
+                                       cfg.num_points,
+                                       process_index=self.process_index,
+                                       process_count=self.process_count)
         self.val_loader = None
         if params.validation and params.val_file:
             from hotformerloc_tpu.data.augmentation import make_val_transform
