@@ -41,6 +41,11 @@ def parse_model_config(path: str, octree_depth: int = 9,
     ct_prop_scale = float(ct_prop_scale) if ct_prop_scale else None
     adape = p.get("ADaPE_mode", None)
     adape = adape if adape not in (None, "", "None") else None
+    # Our extension: occupancy-tuned per-depth node capacities
+    # (tools/measure_occupancy.py prints this line). Absent -> the
+    # worst-case default schedule (octree/build.py:37-51).
+    caps = p.get("capacities", None)
+    caps = _int_tuple(caps) if caps else None
 
     cfg = ModelConfig(
         model=model,
@@ -74,6 +79,7 @@ def parse_model_config(path: str, octree_depth: int = 9,
         grad_checkpoint=p.getboolean("grad_checkpoint", True),
         octree_depth=octree_depth,
         num_points=num_points,
+        capacities=caps,
     )
     return FullModelParams(config=cfg, coordinates=coordinates,
                            qkv_init=p.get("qkv_init", "trunc_normal,0.02"))

@@ -106,6 +106,12 @@ class ModelConfig:
         """
         if self.capacities is not None:
             caps = self.capacities
+            want = self.octree_depth - self.min_depth + 1
+            if len(caps) != want:
+                raise ValueError(
+                    f"capacities needs one entry per depth "
+                    f"{self.min_depth}..{self.octree_depth} ({want}), "
+                    f"got {len(caps)}")
         else:
             caps = default_capacities(self.num_points, self.octree_depth,
                                       self.min_depth, multiple_of=8)
@@ -150,15 +156,28 @@ class ModelConfig:
 
 
 def oxford_config(**overrides) -> ModelConfig:
-    """HOTFormerLoc-Oxford (models/hotformerloc_oxford_cfg.txt)."""
-    kw = dict(octree_depth=9, num_points=4096, patch_size=48)
+    """HOTFormerLoc-Oxford (models/hotformerloc_oxford_cfg.txt).
+
+    Capacities are occupancy-tuned (p99.9 * 1.1 over a 512-cloud uniform
+    corpus — the distribution-free near-worst case; real clustered lidar
+    sits below it): tools/measure_occupancy.py,
+    docs/OCCUPANCY_oxford_uniform.json. Overflow, if any data ever
+    exceeds them, is counted on device (BatchedOctree.overflow) and
+    logged as stats['octree_overflow'].
+    """
+    kw = dict(octree_depth=9, num_points=4096, patch_size=48,
+              capacities=(2688, 4224, 4224, 4224, 4096, 4096))
     kw.update(overrides)
     return ModelConfig(**kw)
 
 
 def cs_wild_places_config(**overrides) -> ModelConfig:
-    """HOTFormerLoc-CSWildPlaces (models/hotformerloc_cs-wild-places_cfg.txt)."""
-    kw = dict(octree_depth=7, num_points=4096, patch_size=64)
+    """HOTFormerLoc-CSWildPlaces (models/hotformerloc_cs-wild-places_cfg.txt).
+
+    Capacities: see oxford_config — docs/OCCUPANCY_cs-wild-places_uniform.json.
+    """
+    kw = dict(octree_depth=7, num_points=4096, patch_size=64,
+              capacities=(256, 512, 2816, 4096, 4096, 4096))
     kw.update(overrides)
     return ModelConfig(**kw)
 

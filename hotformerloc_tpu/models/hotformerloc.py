@@ -112,7 +112,11 @@ class HOTFormerLoc(nn.Module):
         if c.normalize_embeddings:
             x = x / jnp.maximum(
                 jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-        return {"global": x}
+        # Nodes silently dropped by capacity overflow (0 with the default
+        # worst-case caps; the train step surfaces this in its stats so
+        # occupancy-tuned capacities can never lose accuracy unnoticed).
+        return {"global": x,
+                "octree_overflow": jnp.sum(octree.overflow)}
 
 
 def param_count(params) -> int:

@@ -69,6 +69,11 @@ class BatchedOctree:
         the source of the 'P' input feature (ocnn InputFeature('P'),
         consumed at /root/reference/models/hotformerloc.py:28-31).
       leaf_npts: (B, cap_leaf) float32 number of raw points per leaf.
+      overflow: (B,) int32 total nodes dropped across all depths because
+        a level's true occupancy exceeded its capacity. Zero with the
+        default worst-case capacities; with occupancy-tuned capacities
+        (tools/measure_occupancy.py) this is surfaced in the train stats
+        so silent accuracy loss is impossible.
     """
     depth: int = struct.field(pytree_node=False)
     min_depth: int = struct.field(pytree_node=False)
@@ -78,6 +83,7 @@ class BatchedOctree:
     parents: Tuple[Optional[jnp.ndarray], ...]
     leaf_mean: jnp.ndarray
     leaf_npts: jnp.ndarray
+    overflow: jnp.ndarray
 
     # -- indexed accessors (depth-keyed) --------------------------------
     def level(self, d: int) -> int:
@@ -130,8 +136,9 @@ def _unique_sorted(skeys: jnp.ndarray, cap: int):
     # restore SENTINEL in the overflow-dump slot semantics: slot `cap`
     # was dropped by slicing; padding tail keeps SENTINEL because those
     # seg_ids were never < count.
-    count = jnp.minimum(jnp.sum(head.astype(jnp.int32)), cap)
-    return ukeys, seg_id, count
+    true_count = jnp.sum(head.astype(jnp.int32))
+    count = jnp.minimum(true_count, cap)
+    return ukeys, seg_id, count, true_count - count
 
 
 def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
@@ -147,7 +154,7 @@ def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
     svalid = skeys < SENTINEL
 
     cap_leaf = caps[-1]
-    leaf_keys, seg_id, leaf_count = _unique_sorted(skeys, cap_leaf)
+    leaf_keys, seg_id, leaf_count, ovf = _unique_sorted(skeys, cap_leaf)
     # Mean point position per leaf (for 'P' input features).
     w = svalid.astype(jnp.float32)
     pt_sum = jax.ops.segment_sum(spts * w[:, None], seg_id,
@@ -167,14 +174,16 @@ def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
         lev = d - min_depth
         cvalid = child_keys < SENTINEL
         pkeys_of_child = jnp.where(cvalid, child_keys >> 3, SENTINEL)
-        ukeys, seg_id_d, count_d = _unique_sorted(pkeys_of_child, caps[lev])
+        ukeys, seg_id_d, count_d, ovf_d = _unique_sorted(
+            pkeys_of_child, caps[lev])
+        ovf = ovf + ovf_d
         keys_all[lev] = ukeys
         counts_all[lev] = count_d
         parents_all[lev + 1] = jnp.where(
             cvalid & (seg_id_d < caps[lev]), seg_id_d, -1).astype(jnp.int32)
         child_keys = ukeys
     return (tuple(keys_all), tuple(counts_all), tuple(parents_all),
-            leaf_mean, pt_cnt)
+            leaf_mean, pt_cnt, ovf)
 
 
 def build_batched_octree(points: jnp.ndarray, pmask: jnp.ndarray,
@@ -190,10 +199,11 @@ def build_batched_octree(points: jnp.ndarray, pmask: jnp.ndarray,
     if caps is None:
         caps = default_capacities(points.shape[1], depth, min_depth)
     build = lambda p, m: _build_single(p, m, depth, min_depth, caps)
-    keys, counts, parents, leaf_mean, leaf_npts = jax.vmap(build)(
+    keys, counts, parents, leaf_mean, leaf_npts, overflow = jax.vmap(build)(
         points, pmask)
     # vmap maps None -> None inside tuples only if structure matches;
     # parents[0] is None per-sample, tuples come back with None preserved.
     return BatchedOctree(depth=depth, min_depth=min_depth, caps=caps,
                          keys=keys, counts=counts, parents=parents,
-                         leaf_mean=leaf_mean, leaf_npts=leaf_npts)
+                         leaf_mean=leaf_mean, leaf_npts=leaf_npts,
+                         overflow=overflow)

@@ -107,6 +107,8 @@ def init_train_state(model, tx, rng, example_batch,
 
 
 def _apply(model, params, model_state, points, pmask, rngs, train: bool):
+    """Returns (out_dict, new_model_state); out_dict has 'global' and
+    'octree_overflow' (models/hotformerloc.py)."""
     variables = {"params": params, **model_state}
     if train:
         mutable = list(model_state.keys())
@@ -114,12 +116,12 @@ def _apply(model, params, model_state, points, pmask, rngs, train: bool):
             out, new_state = model.apply(variables, points, pmask,
                                          deterministic=False, train=True,
                                          rngs=rngs, mutable=mutable)
-            return out["global"], new_state
+            return out, new_state
         out = model.apply(variables, points, pmask, deterministic=False,
                           train=True, rngs=rngs)
-        return out["global"], model_state
+        return out, model_state
     out = model.apply(variables, points, pmask)
-    return out["global"], model_state
+    return out, model_state
 
 
 def make_train_step(model, tx, loss_fn: Callable,
@@ -140,15 +142,18 @@ def make_train_step(model, tx, loss_fn: Callable,
         pts, msk = batch["points"], batch["pmask"]
 
         def loss_of(params):
-            emb, new_state = _apply(model, params, state.model_state, pts,
+            out, new_state = _apply(model, params, state.model_state, pts,
                                     msk, mb_rngs(rng, 0), True)
+            emb = out["global"]
             loss, stats = loss_fn(emb, batch["positives_mask"],
                                   batch["negatives_mask"])
+            stats = dict(stats)
+            stats["octree_overflow"] = out["octree_overflow"]
             if cfg.mesa > 0.0 and state.ema_params is not None:
-                t_emb, _ = _apply(model, state.ema_params,
+                t_out, _ = _apply(model, state.ema_params,
                                   state.model_state, pts, msk, None, False)
                 loss = loss + cfg.mesa * kd_loss(
-                    emb, jax.lax.stop_gradient(t_emb))
+                    emb, jax.lax.stop_gradient(t_out["global"]))
             return loss, (stats, new_state)
 
         grads, (stats, new_state) = jax.grad(loss_of, has_aux=True)(
@@ -179,22 +184,23 @@ def make_train_step(model, tx, loss_fn: Callable,
         idx = jnp.arange(A)
 
         def fwd(params, p, m, i):
-            emb, new_state = _apply(model, params, state.model_state, p, m,
+            out, new_state = _apply(model, params, state.model_state, p, m,
                                     mb_rngs(rng, i), True)
-            return emb, new_state
+            return out["global"], (new_state, out["octree_overflow"])
 
         # Stage 1 — embeddings without parameter gradients.
         def s1(carry, xs):
             p, m, i = xs
-            emb, new_state = fwd(state.params, p, m, i)
+            emb, (new_state, ovf) = fwd(state.params, p, m, i)
             if cfg.mesa > 0.0 and state.ema_params is not None:
-                t_emb, _ = _apply(model, state.ema_params,
+                t_out, _ = _apply(model, state.ema_params,
                                   state.model_state, p, m, None, False)
+                t_emb = t_out["global"]
             else:
                 t_emb = jnp.zeros_like(emb)
-            return new_state, (emb, t_emb)
+            return new_state, (emb, t_emb, ovf)
 
-        new_state, (embs, t_embs) = jax.lax.scan(
+        new_state, (embs, t_embs, ovfs) = jax.lax.scan(
             s1, state.model_state, (pts_s, msk_s, idx),
             unroll=min(cfg.unroll, A))
         embs = embs.reshape(B, -1)
@@ -209,6 +215,8 @@ def make_train_step(model, tx, loss_fn: Callable,
 
         (_, stats), g_emb = jax.value_and_grad(
             loss_of_emb, has_aux=True)(embs)
+        stats = dict(stats)
+        stats["octree_overflow"] = jnp.sum(ovfs)
         g_emb = g_emb.reshape(A, mb, -1)
 
         # Stage 3 — recompute per microbatch, chain-rule into params.
@@ -246,9 +254,9 @@ def make_eval_step(model, loss_fn: Callable):
     """Validation step: embeddings + loss stats, no grads."""
 
     def eval_step(state: TrainState, batch):
-        emb, _ = _apply(model, state.params, state.model_state,
+        out, _ = _apply(model, state.params, state.model_state,
                         batch["points"], batch["pmask"], None, False)
-        _, stats = loss_fn(emb, batch["positives_mask"],
+        _, stats = loss_fn(out["global"], batch["positives_mask"],
                            batch["negatives_mask"])
         return stats
 
@@ -259,8 +267,8 @@ def make_embed_step(model):
     """Inference: points -> descriptors (eval / retrieval path)."""
 
     def embed(state: TrainState, points, pmask):
-        emb, _ = _apply(model, state.params, state.model_state, points,
+        out, _ = _apply(model, state.params, state.model_state, points,
                         pmask, None, False)
-        return emb
+        return out["global"]
 
     return jax.jit(embed)
