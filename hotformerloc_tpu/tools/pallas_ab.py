@@ -53,6 +53,12 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
 
     import hotformerloc_tpu.models.attention as attn_mod
 
+    # Parameters are identical on both paths; init once via XLA so a
+    # Mosaic rejection in the Pallas path is caught per-case below.
+    ref_mod = WindowAttention(C, H, K, dilation, G, True, 0.0, 0.0, True,
+                              use_pallas=False, dtype=jnp.bfloat16)
+    params = ref_mod.init(jax.random.PRNGKey(0), x, key_mask, xyz)
+
     results = {}
     ref_out = None
     for mode, wt in [("xla", None)] + [("pallas", t) for t in tiles]:
@@ -62,7 +68,6 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
         mod = WindowAttention(C, H, K, dilation, G, True, 0.0, 0.0, True,
                               use_pallas=(mode == "pallas"),
                               dtype=jnp.bfloat16)
-        params = mod.init(jax.random.PRNGKey(0), x, key_mask, xyz)
         attn_mod._FORCED_WINDOW_TILE = wt
 
         fwd = jax.jit(lambda p, x_: mod.apply(p, x_, key_mask, xyz))

@@ -45,27 +45,43 @@ def _top_ops_from_xplane(trace_dir: str, top_n: int = 10
     except Exception:
         return []
     try:
-        data, _ = rtd.xspace_to_tool_data(paths, "hlo_op_stats", {})
-        rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+        data, _ = rtd.xspace_to_tool_data(paths, "hlo_stats", {})
+        if isinstance(data, bytes):
+            data = data.decode()
+        tbl = json.loads(data) if isinstance(data, str) else data
     except Exception:
         return []
-    # hlo_op_stats is gviz-style: find the record list.
-    if isinstance(rows, dict):
-        rows = rows.get("data", rows.get("rows", []))
-    ops: Dict[str, float] = {}
-    for r in rows if isinstance(rows, list) else []:
-        try:
-            name = r.get("category") or r.get("hloOpName") or r.get("name")
-            t = float(r.get("selfTimeUs", r.get("self_time_us", 0.0)))
-        except AttributeError:
-            continue
-        if name:
-            ops[name] = ops.get(name, 0.0) + t
-    total = sum(ops.values()) or 1.0
-    table = [{"op": k, "time_us": round(v, 1),
-              "pct": round(100.0 * v / total, 1)}
-             for k, v in sorted(ops.items(), key=lambda kv: -kv[1])]
-    return table[:top_n]
+    # gviz DataTable: {"cols": [{id, label, ...}], "rows": [{"c": [{"v"}]}]}
+    if not isinstance(tbl, dict) or "cols" not in tbl:
+        return []
+    idx = {c.get("id"): i for i, c in enumerate(tbl["cols"])}
+    need = ("hlo_op_name", "category", "total_self_time", "occurrences")
+    if any(k not in idx for k in need):
+        return []
+
+    def val(row, key):
+        cell = row["c"][idx[key]]
+        return cell.get("v") if isinstance(cell, dict) else None
+
+    ops: Dict[str, Dict[str, float]] = {}
+    total = 0.0
+    for r in tbl.get("rows", []):
+        name = val(r, "hlo_op_name") or "?"
+        cat = val(r, "category") or "?"
+        fw = (val(r, "tf_op_name") or "") if "tf_op_name" in idx else ""
+        t = float(val(r, "total_self_time") or 0.0)
+        occ = int(val(r, "occurrences") or 0)
+        total += t
+        d = ops.setdefault(name, {"op": name, "category": cat,
+                                  "fw_op": fw, "time_us": 0.0, "count": 0})
+        d["time_us"] += t
+        d["count"] += occ
+    total = total or 1.0
+    table = sorted(ops.values(), key=lambda d: -d["time_us"])[:top_n]
+    for d in table:
+        d["time_us"] = round(d["time_us"], 1)
+        d["pct"] = round(100.0 * d["time_us"] / total, 1)
+    return table
 
 
 def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
@@ -121,15 +137,23 @@ def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
     state, stats = compiled(state, batch, jax.random.PRNGKey(0))
     jax.block_until_ready(stats["loss"])
 
+    # Time WITHOUT the trace active: profiling (especially over a
+    # tunnelled device) adds per-step overhead that would corrupt the
+    # step_ms / MFU numbers. The trace pass below reuses the same
+    # compiled step on fewer iterations purely for the op table.
     t0 = time.perf_counter()
+    for i in range(iters):
+        state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(stats["loss"])
+    step_s = (time.perf_counter() - t0) / iters
+
     jax.profiler.start_trace(trace_dir)
     try:
-        for i in range(iters):
+        for i in range(min(iters, 2)):
             state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
         jax.block_until_ready(stats["loss"])
     finally:
         jax.profiler.stop_trace()
-    step_s = (time.perf_counter() - t0) / iters
 
     from bench import BENCH_BASELINE_SUBMAPS_S, _chip_peak_flops
     peak = _chip_peak_flops()
@@ -165,10 +189,14 @@ def write_report(out: str, summary: Dict[str, float],
     lines.append("## Top HLO ops by self time")
     lines.append("")
     if top_ops:
-        lines.append("| op | self time (us) | % |")
-        lines.append("|---|---|---|")
+        lines.append("| op | category | framework op | n | "
+                     "self time (us) | % |")
+        lines.append("|---|---|---|---|---|---|")
         for r in top_ops:
-            lines.append(f"| {r['op']} | {r['time_us']} | {r['pct']} |")
+            fw = str(r.get("fw_op", ""))[-60:]
+            lines.append(f"| {r['op']} | {r.get('category', '?')} | "
+                         f"{fw} | {r.get('count', '?')} | "
+                         f"{r['time_us']} | {r['pct']} |")
     else:
         lines.append("(no xplane data parsed — xprof unavailable or "
                      "trace empty on this platform)")
