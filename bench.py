@@ -23,11 +23,23 @@ import time
 
 import numpy as np
 
-# Recorded v5e single-chip throughput bar (best recorded number —
-# BENCH_r01.json, round 1). The reference publishes no throughput
-# (SURVEY.md §6), so this repo benchmarks against its own bar and the
-# metric must only go up (CLAUDE.md rule).
-BENCH_BASELINE_SUBMAPS_S = 11891.84
+# Recorded v5e single-chip throughput bar (best recorded number under
+# the CURRENT timing methodology — see below). The reference publishes
+# no throughput (SURVEY.md §6), so this repo benchmarks against its own
+# bar and the metric must only go up (CLAUDE.md rule).
+#
+# Methodology note (round 2): round 1 recorded 11891.84 using
+# `jax.block_until_ready(stats["loss"])` as the sync point. On this
+# environment's tunnelled 'axon' TPU platform block_until_ready does
+# NOT reliably wait for device completion (a chained 8192^3 bf16 matmul
+# loop "measured" 23,474 TF/s on a 197 TF/s chip; forcing a scalar
+# fetch gives a sane 154.8 TF/s = 78% of peak). All round-1 wall-clock
+# numbers were therefore optimistic garbage — 11891.84 submaps/s
+# implied 580 TF/s of model FLOPs on a 197 TF/s part. The bench now
+# ends the timed loop with an np.asarray() fetch of the scalar loss,
+# which provably waits (MFU stays < 1), and the bar below is re-based
+# to the first honest measurement (2026-08-19, this file at iters=30).
+BENCH_BASELINE_SUBMAPS_S = 1.48  # first honest (fetch-synced) number
 
 # Peak dense matmul throughput per chip (bf16), for MFU accounting.
 # Sources: public TPU spec sheets; "How to Scale Your Model" ch. 2.
@@ -90,7 +102,8 @@ def main():
     step = make_train_step(model, tx, loss_fn, StepConfig(accum_steps=4))
 
     # Lower+compile once so XLA's own cost analysis (FLOPs / bytes) is
-    # available for roofline/MFU accounting (SURVEY.md §5).
+    # available for roofline/MFU accounting (SURVEY.md §5). Timing uses
+    # the jit fast path below, not this AOT handle.
     compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):
@@ -98,15 +111,18 @@ def main():
     flops_per_step = float(cost.get("flops", 0.0)) if cost else 0.0
     bytes_per_step = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
 
-    # warmup
-    state, stats = compiled(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(stats["loss"])
+    # Warmup (jit path; persistent cache makes this compile a hit) and
+    # sync via a VALUE FETCH — see the methodology note at the top:
+    # block_until_ready is not a reliable sync on the tunnelled device.
+    for i in range(3):
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+    float(np.asarray(stats["loss"]))
 
-    iters = 10
+    iters = 30
     t0 = time.perf_counter()
     for i in range(iters):
-        state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(stats["loss"])
+        state, stats = step(state, batch, jax.random.PRNGKey(i + 1))
+    float(np.asarray(stats["loss"]))          # forces full completion
     dt = time.perf_counter() - t0
     submaps_s = B * iters / dt
 

@@ -25,12 +25,17 @@ import numpy as np
 
 
 def _time(fn, *args, iters: int = 30) -> float:
+    # Sync via a value fetch: block_until_ready is not a reliable
+    # barrier on the tunnelled TPU platform (see utils/profiling.py
+    # fetch_sync). Programs execute in dispatch order on one chip, so
+    # one fetch at the end waits for the whole loop.
+    from hotformerloc_tpu.utils.profiling import fetch_sync
     out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
     return (time.perf_counter() - t0) / iters * 1e3          # ms
 
 

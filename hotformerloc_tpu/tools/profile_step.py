@@ -134,24 +134,31 @@ def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
     nbytes = float(cost.get("bytes accessed", 0.0)) if cost else 0.0
 
-    state, stats = compiled(state, batch, jax.random.PRNGKey(0))
-    jax.block_until_ready(stats["loss"])
+    from hotformerloc_tpu.utils.profiling import fetch_sync
+
+    # Warmup + timing use the jit FAST PATH, not the AOT `compiled`
+    # handle: on the tunnelled platform the AOT call path adds large
+    # per-call host overhead (measured ~100x). Sync via a value fetch —
+    # block_until_ready is not a reliable barrier here (fetch_sync doc).
+    for i in range(3):
+        state, stats = step(state, batch, jax.random.PRNGKey(i))
+    fetch_sync(stats["loss"])
 
     # Time WITHOUT the trace active: profiling (especially over a
     # tunnelled device) adds per-step overhead that would corrupt the
     # step_ms / MFU numbers. The trace pass below reuses the same
-    # compiled step on fewer iterations purely for the op table.
+    # step on fewer iterations purely for the op table.
     t0 = time.perf_counter()
     for i in range(iters):
-        state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(stats["loss"])
+        state, stats = step(state, batch, jax.random.PRNGKey(i + 1))
+    fetch_sync(stats["loss"])
     step_s = (time.perf_counter() - t0) / iters
 
     jax.profiler.start_trace(trace_dir)
     try:
         for i in range(min(iters, 2)):
-            state, stats = compiled(state, batch, jax.random.PRNGKey(i + 1))
-        jax.block_until_ready(stats["loss"])
+            state, stats = step(state, batch, jax.random.PRNGKey(i + 1))
+        fetch_sync(stats["loss"])
     finally:
         jax.profiler.stop_trace()
 

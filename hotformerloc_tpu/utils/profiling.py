@@ -27,18 +27,39 @@ def block(tree):
     return tree
 
 
+def fetch_sync(tree) -> None:
+    """Provably wait for device completion by FETCHING one element.
+
+    On the tunnelled 'axon' TPU platform `block_until_ready` returns
+    before the device finishes (measured: a chained 8192^3 bf16 matmul
+    loop "timed" at 23,474 TF/s on a 197 TF/s chip; adding a value
+    fetch gives 154.8 TF/s = 78% of peak). An XLA program's output
+    buffers only materialise when the whole program completes, so
+    transferring a single element of any output is a correct and cheap
+    sync barrier on every platform. Use this — not `block` — to end a
+    timed region.
+    """
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "shape")]
+    if not leaves:
+        return
+    leaf = min(leaves, key=lambda l: l.size)
+    np.asarray(leaf if leaf.ndim == 0 else leaf.ravel()[0])
+
+
 def time_fn(fn: Callable, *args, iters: int = 10, warmup: int = 2,
             label: Optional[str] = None, **kw) -> Dict[str, float]:
     """Time `fn(*args)` with dispatch barriers, like the reference's
     `debug_time_func` (misc/utils.py:336-357) but device-agnostic:
     warmup runs absorb compilation, then per-iteration wall clock with
-    block_until_ready on the result."""
+    a value-fetch sync on the result (see fetch_sync — block_until_ready
+    is not a reliable barrier on the tunnelled TPU platform)."""
     for _ in range(warmup):
-        block(fn(*args, **kw))
+        fetch_sync(fn(*args, **kw))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        block(fn(*args, **kw))
+        fetch_sync(fn(*args, **kw))
         times.append(time.perf_counter() - t0)
     stats = {"mean_s": float(np.mean(times)),
              "std_s": float(np.std(times)),
