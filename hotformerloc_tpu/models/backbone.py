@@ -55,7 +55,7 @@ class PatchEmbed(nn.Module):
                                      oc.node_valid(di), train)
                 x = OctreeDownConvNormRelu(
                     chans[i + 1], self.conv_norm, self.dtype,
-                    name=f"down{i}")(x, plan.children(di),
+                    name=f"down{i}")(x, plan.down_tables(di),
                                      oc.node_valid(di - 1), train)
             dp = d - self.num_down
             x = OctreeConvNormRelu(self.dim, 27, self.conv_norm, self.dtype,
@@ -217,7 +217,7 @@ class HOTFormerStage(nn.Module):
             locals_.append(Downsample(
                 self.channels[j + 1], c.conv_norm, self.dtype,
                 name=f"downsample{j}")(
-                    locals_[j], plan.children(depths[j]),
+                    locals_[j], plan.down_tables(depths[j]),
                     oc.node_valid(depths[j + 1]), train))
 
         wvalids = [ow.window_valid(ctx.node_valid, chunk) for ctx in ctxs]
@@ -357,7 +357,7 @@ class HOTFormerBase(nn.Module):
             used += nb
             feat = Downsample(c.channels[i + 1], c.conv_norm, self.dtype,
                               name=f"octf_down{i}")(
-                feat, plan.children(d), oc.node_valid(d - 1), train)
+                feat, plan.down_tables(d), oc.node_valid(d - 1), train)
             d -= 1
         return HOTFormerStage(c, pyr_ch, pyr_h,
                               rates[used:used + c.num_blocks[-1]],

@@ -155,6 +155,15 @@ conv_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in",
                                                     "truncated_normal")
 
 
+def _down_triple(down):
+    """Accept either a bare children table or the full
+    (children, parent, octant) triple from OctreePlan.down_tables —
+    the inverse tables unlock the scatter-free backward (ops/conv.py)."""
+    if isinstance(down, (tuple, list)):
+        return down
+    return down, None, None
+
+
 class OctreeConvNormRelu(nn.Module):
     """Stride-1 octree conv + norm + ReLU
     (models/layers/octformer_layers.py:80-99)."""
@@ -182,12 +191,13 @@ class OctreeDownConvNormRelu(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, children, valid=None, train: bool = False):
+    def __call__(self, x, down, valid=None, train: bool = False):
+        children, parent, octant = _down_triple(down)
         w = self.param("kernel", conv_kernel_init,
                        (8, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         y = oconv.octree_down_conv(x, children, w.astype(self.dtype),
-                                   b.astype(self.dtype))
+                                   b.astype(self.dtype), parent, octant)
         y = Norm(self.out_channels, self.conv_norm, self.dtype)(
             y, valid, train)
         return nn.relu(y)
@@ -229,12 +239,13 @@ class Downsample(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, children, valid=None, train: bool = False):
+    def __call__(self, x, down, valid=None, train: bool = False):
+        children, parent, octant = _down_triple(down)
         w = self.param("kernel", conv_kernel_init,
                        (8, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         y = oconv.octree_down_conv(x, children, w.astype(self.dtype),
-                                   b.astype(self.dtype))
+                                   b.astype(self.dtype), parent, octant)
         return Norm(self.out_channels, self.conv_norm, self.dtype)(
             y, valid, train)
 

@@ -1,4 +1,5 @@
-"""Octree convolution primitives as gather + MXU matmul.
+"""Octree convolution primitives: flat 1-D gathers + MXU matmuls, with
+scatter-free custom adjoints.
 
 TPU-native replacements for the reference's conv stack:
   * `octree_conv`   ~ ocnn.nn.OctreeConv (stride 1, odd kernel), used by
@@ -10,45 +11,74 @@ TPU-native replacements for the reference's conv stack:
   * `octree_down_conv` ~ kernel-[2] stride-2 OctreeConv (Downsample,
     /root/reference/models/octformer_backbone.py:456-469), expressed as a
     gather over each parent's 8 children.
+  * `octree_deconv` ~ ocnn.nn.OctreeDeconv, the mutual adjoint of
+    `octree_down_conv` from the child's perspective.
   * `global_pool`   ~ ocnn.nn.OctreeGlobalPool (per-sample masked mean).
 
-Formulation: ONE batched row-gather of all taps -> one MXU dot_general
-with the (tap, channel) axes contracted. A per-tap Python loop would be
-K gathers + K matmuls = ~55 XLA kernels per conv; on this system kernel
-launches are expensive, and the single-gather form is also what lets the
-dwconv reduce fuse without materialising the patch tensor. Autodiff
-through take_along_axis yields the exact scatter-adjoint the reference
-hand-writes with its inverse-neighbour CUDA trick
-(/root/reference/libs/dwconv/csrc/dwconv.cu:74-97).
+Two TPU performance rules shape this file (both measured on v5e):
+
+1. GATHERS MUST BE FLAT. An XLA gather with a batch dimension
+   (`take_along_axis` on (B, N, C)) serialises per batch row (~70x
+   slower than the identical flat gather); every tap gather here folds
+   the batch into the row index and issues ONE 1-D row gather.
+
+2. BACKWARD MUST NOT SCATTER. The autodiff adjoint of a gather is a
+   scatter-add, which the TPU lowers to a serial per-index loop —
+   measured as the dominant cost of the whole train step (~seconds per
+   microbatch). Every op here carries a custom VJP that reformulates
+   the adjoint as ANOTHER GATHER, exploiting octree-stencil symmetry:
+
+     * stride-1 odd stencils enumerate offsets in raster order, so
+       offsets[K-1-k] == -offsets[k]; with neigh[m, k] = node at
+       (xyz_m + offsets[k]) it follows that neigh[m, k] = n iff
+       neigh[n, K-1-k] = m. Hence dx = conv(dy, neigh, flip-transpose(w))
+       — the exact inverse-neighbour trick the reference hand-writes in
+       CUDA (/root/reference/libs/dwconv/csrc/dwconv.cu:74-97), realised
+       here as pure gathers.
+     * down-conv (children table) and deconv (parent+octant tables) are
+       mutual adjoints: children[b, p, o] = c iff parent[b, c] = p and
+       octant[b, c] = o, so each one's dx is the other's forward with a
+       channel-transposed kernel.
+
+   Weight/bias grads are plain einsums over re-gathered activations
+   (recomputing a flat gather is far cheaper than saving the patch
+   tensor as a residual).
 """
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 
-def _gather_taps(x: jnp.ndarray, neigh: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, N, C), neigh: (B, M, K) with -1 missing -> (B, M, K, C).
+def _gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Flat row gather. x: (B, N, C), idx: (B, ...) int32 with -1 for
+    missing -> (B, ..., C), zeros where idx < 0.
 
-    M may differ from N (stride-2 convs gather depth-d children into
-    depth-(d-1) parents).
+    The batch axis is folded into the row index so XLA sees one
+    unbatched 1-D gather (rule 1 above).
     """
-    B, _, C = x.shape
-    _, M, K = neigh.shape
-    flat = neigh.reshape(B, M * K)
-    safe = jnp.maximum(flat, 0)
-    g = jnp.take_along_axis(x, safe[..., None], axis=1)   # (B, M*K, C)
-    g = jnp.where((flat >= 0)[..., None], g, 0)
-    return g.reshape(B, M, K, C)
+    B, N, C = x.shape
+    flat = x.reshape(B * N, C)
+    base = jnp.arange(B, dtype=idx.dtype).reshape(
+        (B,) + (1,) * (idx.ndim - 1)) * N
+    gidx = jnp.where(idx >= 0, idx + base, 0).reshape(-1)
+    g = jnp.take(flat, gidx, axis=0)
+    g = jnp.where((idx >= 0).reshape(-1)[:, None], g, 0)
+    return g.reshape(*idx.shape, C)
 
 
-def octree_conv(x: jnp.ndarray, neigh: jnp.ndarray, w: jnp.ndarray,
-                b: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Stride-1 octree conv. x: (B, N, Cin), neigh: (B, N, K),
-    w: (K, Cin, Cout)."""
-    K = w.shape[0]
-    assert neigh.shape[-1] == K
-    g = _gather_taps(x, neigh)
+def _flip_transpose(w: jnp.ndarray) -> jnp.ndarray:
+    """(K, Cin, Cout) -> (K, Cout, Cin) with taps reversed — the adjoint
+    kernel of a symmetric stride-1 stencil."""
+    return jnp.swapaxes(w[::-1], 1, 2)
+
+
+# -- stride-1 full conv -----------------------------------------------------
+
+def _conv_fwd_impl(x, neigh, w, b):
+    g = _gather_rows(x, neigh)                       # (B, M, K, C)
     out = jnp.einsum("bnkc,kco->bno", g, w,
                      preferred_element_type=jnp.float32).astype(x.dtype)
     if b is not None:
@@ -56,28 +86,168 @@ def octree_conv(x: jnp.ndarray, neigh: jnp.ndarray, w: jnp.ndarray,
     return out
 
 
-def octree_dwconv(x: jnp.ndarray, neigh: jnp.ndarray,
-                  w: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise octree conv. x: (B, N, C), neigh: (B, N, K), w: (K, C).
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _conv_core(x, neigh, w, b):
+    return _conv_fwd_impl(x, neigh, w, b)
 
-    Elementwise multiply + tap-sum; XLA fuses the gather into the
-    reduction so the (B, N, K, C) patch tensor never reaches HBM.
-    """
+
+def _conv_core_fwd(x, neigh, w, b):
+    return _conv_fwd_impl(x, neigh, w, b), (x, neigh, w)
+
+
+def _conv_core_bwd(res, dy):
+    x, neigh, w = res
+    # dx: tap-flipped, channel-transposed conv of dy (see module doc).
+    dx = _conv_fwd_impl(dy, neigh, _flip_transpose(w), None)
+    # dw: einsum over re-gathered activations (contraction over b, n).
+    g = _gather_rows(x, neigh)
+    dw = jnp.einsum("bnkc,bno->kco", g, dy,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(dy, axis=(0, 1))
+    return dx, None, dw, db
+
+
+_conv_core.defvjp(_conv_core_fwd, _conv_core_bwd)
+
+
+def octree_conv(x: jnp.ndarray, neigh: jnp.ndarray, w: jnp.ndarray,
+                b: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Stride-1 octree conv. x: (B, N, Cin), neigh: (B, N, K) from a
+    raster-ordered symmetric stencil (octree/neigh.kernel_offsets),
+    w: (K, Cin, Cout)."""
     K = w.shape[0]
     assert neigh.shape[-1] == K
-    g = _gather_taps(x, neigh)
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    return _conv_core(x, neigh, w, b)
+
+
+# -- stride-1 depthwise conv ------------------------------------------------
+
+def _dwconv_fwd_impl(x, neigh, w):
+    g = _gather_rows(x, neigh)                       # (B, N, K, C)
     return jnp.einsum("bnkc,kc->bnc", g, w.astype(x.dtype))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _dwconv_core(x, neigh, w):
+    return _dwconv_fwd_impl(x, neigh, w)
+
+
+def _dwconv_core_fwd(x, neigh, w):
+    return _dwconv_fwd_impl(x, neigh, w), (x, neigh, w)
+
+
+def _dwconv_core_bwd(res, dy):
+    x, neigh, w = res
+    dx = _dwconv_fwd_impl(dy, neigh, w[::-1])
+    g = _gather_rows(x, neigh)
+    dw = jnp.einsum("bnkc,bnc->kc", g, dy,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    return dx, None, dw
+
+
+_dwconv_core.defvjp(_dwconv_core_fwd, _dwconv_core_bwd)
+
+
+def octree_dwconv(x: jnp.ndarray, neigh: jnp.ndarray,
+                  w: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise octree conv. x: (B, N, C), neigh: (B, N, K), w: (K, C)."""
+    K = w.shape[0]
+    assert neigh.shape[-1] == K
+    return _dwconv_core(x, neigh, w)
+
+
+# -- stride-2 down conv / deconv (mutual adjoints) --------------------------
+
+def _down_fwd_impl(x, children, w, b):
+    g = _gather_rows(x, children)                    # (B, Np, 8, Cin)
+    out = jnp.einsum("bnkc,kco->bno", g, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _deconv_fwd_impl(x, parent, octant, w, b):
+    xp = _gather_rows(x, parent)                     # (B, Nc, Cin)
+    oh = jax.nn.one_hot(octant, w.shape[0], dtype=x.dtype)
+    out = jnp.einsum("bnc,bnk,kco->bno", xp, oh, w,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _down_core(x, children, parent, octant, w, b):
+    return _down_fwd_impl(x, children, w, b)
+
+
+def _down_core_fwd(x, children, parent, octant, w, b):
+    return (_down_fwd_impl(x, children, w, b),
+            (x, children, parent, octant, w))
+
+
+def _down_core_bwd(res, dy):
+    x, children, parent, octant, w = res
+    # dx[child] = w[octant(child)]^T dy[parent(child)] — deconv gather.
+    dx = _deconv_fwd_impl(dy, parent, octant, jnp.swapaxes(w, 1, 2), None)
+    g = _gather_rows(x, children)
+    dw = jnp.einsum("bnkc,bno->kco", g, dy,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(dy, axis=(0, 1))
+    return dx, None, None, None, dw, db
+
+
+_down_core.defvjp(_down_core_fwd, _down_core_bwd)
+
+
 def octree_down_conv(x: jnp.ndarray, children: jnp.ndarray, w: jnp.ndarray,
-                     b: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Kernel-[2] stride-2 conv: children (B, N_parent, 8), w (8, Cin, Cout)."""
-    return octree_conv(x, children, w, b)
+                     b: jnp.ndarray | None = None,
+                     parent: jnp.ndarray | None = None,
+                     octant: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Kernel-[2] stride-2 conv: children (B, N_parent, 8), w (8, Cin, Cout).
+
+    ``parent``/``octant`` (the inverse of ``children``; (B, N_child)
+    each) enable the scatter-free backward. When omitted the op falls
+    back to autodiff through the gather (fine under eval / no-grad).
+    """
+    if parent is None or octant is None:
+        return _down_fwd_impl(x, children, w, b)
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    return _down_core(x, children, parent, octant, w, b)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def _deconv_core(x, parent, octant, children, w, b):
+    return _deconv_fwd_impl(x, parent, octant, w, b)
+
+
+def _deconv_core_fwd(x, parent, octant, children, w, b):
+    return (_deconv_fwd_impl(x, parent, octant, w, b),
+            (x, parent, octant, children, w))
+
+
+def _deconv_core_bwd(res, dy):
+    x, parent, octant, children, w = res
+    dx = _down_fwd_impl(dy, children, jnp.swapaxes(w, 1, 2), None)
+    xp = _gather_rows(x, parent)
+    oh = jax.nn.one_hot(octant, w.shape[0], dtype=x.dtype)
+    dw = jnp.einsum("bnc,bnk,bno->kco", xp, oh, dy,
+                    preferred_element_type=jnp.float32).astype(w.dtype)
+    db = jnp.sum(dy, axis=(0, 1))
+    return dx, None, None, None, dw, db
+
+
+_deconv_core.defvjp(_deconv_core_fwd, _deconv_core_bwd)
 
 
 def octree_deconv(x: jnp.ndarray, parent: jnp.ndarray,
                   octant: jnp.ndarray, w: jnp.ndarray,
-                  b: jnp.ndarray | None = None) -> jnp.ndarray:
+                  b: jnp.ndarray | None = None,
+                  children: jnp.ndarray | None = None) -> jnp.ndarray:
     """Kernel-[2] stride-2 transposed conv (upsample): the adjoint of
     `octree_down_conv`, ~ ocnn.nn.OctreeDeconv as consumed by
     OctreeDeconvNormRelu (/root/reference/models/layers/
@@ -88,19 +258,14 @@ def octree_deconv(x: jnp.ndarray, parent: jnp.ndarray,
     child's parent (-1 = padding); octant: (B, N_child) int32 in [0, 8);
     w: (8, Cin, Cout). out[c] = w[octant(c)]^T x[parent(c)] — from the
     child's perspective the scatter becomes a gather, so no scatter op
-    ever reaches XLA.
+    ever reaches XLA. ``children`` enables the scatter-free backward.
     """
     assert w.shape[0] == 8
-    B, Nc = parent.shape
-    safe = jnp.maximum(parent, 0)
-    xp = jnp.take_along_axis(x, safe[..., None], axis=1)   # (B, Nc, Cin)
-    xp = jnp.where((parent >= 0)[..., None], xp, 0)
-    oh = jax.nn.one_hot(octant, 8, dtype=x.dtype)          # (B, Nc, 8)
-    out = jnp.einsum("bnc,bnk,kco->bno", xp, oh, w,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    if b is not None:
-        out = out + b
-    return out
+    if children is None:
+        return _deconv_fwd_impl(x, parent, octant, w, b)
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    return _deconv_core(x, parent, octant, children, w, b)
 
 
 def global_pool(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

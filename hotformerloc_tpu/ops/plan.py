@@ -46,6 +46,18 @@ class OctreePlan:
         assert c is not None
         return c
 
+    def down_tables(self, d: int):
+        """(children, parent, octant) for a stride-2 conv at depth d.
+
+        ``parent``/``octant`` are the inverse of ``children``
+        (children[b, p, o] = c iff parent[b, c] = p and octant[b, c] = o)
+        and power the scatter-free conv adjoints (ops/conv.py).
+        """
+        from hotformerloc_tpu.octree.morton import SENTINEL
+        key = self.octree.key(d)
+        octant = jnp.where(key < SENTINEL, key & 7, 0).astype(jnp.int32)
+        return self.children(d), self.octree.parent(d), octant
+
 
 def build_plan(octree: BatchedOctree) -> OctreePlan:
     """Compute neighbour + child tables for every materialised depth."""

@@ -129,6 +129,74 @@ class TestConv:
         vm = np.asarray(octree.node_valid(d))[..., None]
         np.testing.assert_allclose(got * vm, want * vm, rtol=1e-4, atol=1e-4)
 
+    def test_conv_custom_vjp_matches_autodiff(self):
+        # The scatter-free adjoint (tap-flipped, channel-transposed
+        # kernel — ops/conv.py module doc) must equal autodiff through
+        # the plain gather formulation.
+        rng, octree = _fixture(11, P=200, depth=4)
+        d = 4
+        neigh = neigh_table(octree, d, "333")
+        N = octree.cap(d)
+        x = jnp.asarray(rng.standard_normal((2, N, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((27, 4, 5)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((5,)).astype(np.float32))
+        cot = jnp.asarray(rng.standard_normal((2, N, 5)).astype(np.float32))
+
+        def ref(x, w, b):                    # autodiff-through-gather
+            return oc._conv_fwd_impl(x, neigh, w, b)
+
+        _, vjp = jax.vjp(lambda x, w, b: oc.octree_conv(x, neigh, w, b),
+                         x, w, b)
+        _, rvjp = jax.vjp(ref, x, w, b)
+        for got, want in zip(vjp(cot), rvjp(cot)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_down_conv_custom_vjp_matches_autodiff(self):
+        _, octree = _fixture(12, P=300, depth=5)
+        rng = np.random.default_rng(12)
+        d = 5
+        ch = child_table(octree, d)
+        parent = octree.parent(d)
+        octant = jnp.where(octree.node_valid(d),
+                           (octree.key(d) & 7).astype(jnp.int32), 0)
+        Np, Nc = octree.cap(d - 1), octree.cap(d)
+        x = jnp.asarray(rng.standard_normal((2, Nc, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((8, 4, 6)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+        cot = jnp.asarray(rng.standard_normal((2, Np, 6)).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda x, w, b: oc.octree_down_conv(x, ch, w, b, parent, octant),
+            x, w, b)
+        _, rvjp = jax.vjp(
+            lambda x, w, b: oc.octree_down_conv(x, ch, w, b), x, w, b)
+        for got, want in zip(vjp(cot), rvjp(cot)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_deconv_custom_vjp_matches_autodiff(self):
+        _, octree = _fixture(13, P=300, depth=5)
+        rng = np.random.default_rng(13)
+        d = 5
+        ch = child_table(octree, d)
+        parent = octree.parent(d)
+        octant = jnp.where(octree.node_valid(d),
+                           (octree.key(d) & 7).astype(jnp.int32), 0)
+        Np, Nc = octree.cap(d - 1), octree.cap(d)
+        x = jnp.asarray(rng.standard_normal((2, Np, 4)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((8, 4, 6)).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal((6,)).astype(np.float32))
+        cot = jnp.asarray(rng.standard_normal((2, Nc, 6)).astype(np.float32))
+        _, vjp = jax.vjp(
+            lambda x, w, b: oc.octree_deconv(x, parent, octant, w, b, ch),
+            x, w, b)
+        _, rvjp = jax.vjp(
+            lambda x, w, b: oc.octree_deconv(x, parent, octant, w, b),
+            x, w, b)
+        for got, want in zip(vjp(cot), rvjp(cot)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-4, atol=1e-4)
+
     def test_global_pool(self):
         rng = np.random.default_rng(4)
         x = rng.standard_normal((3, 16, 5)).astype(np.float32)
