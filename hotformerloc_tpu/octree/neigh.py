@@ -107,6 +107,118 @@ def neigh_table(octree: BatchedOctree, depth: int,
     return jnp.moveaxis(tab.reshape(B, K, N), 1, 2)  # (B, N, K)
 
 
+# -- table-driven neighbour construction (ocnn construct_all_neigh) ---------
+#
+# The binary-search neigh_table costs ~95 ms/level on a v5e (13 bisection
+# steps of scalar gathers over 27*N queries). The recurrence below is the
+# ocnn design (ocnn.octree.Octree.construct_all_neigh): a depth-d node's
+# neighbour at offset t lives under its PARENT'S neighbour, and both the
+# parent-level tap and the child octant are static functions of
+# (own octant, t) — so each level is TWO flat gathers (~7 ms), and only
+# the coarsest level needs a real lookup (done densely: one flat scatter
+# into an 8^min_depth inverse map + one gather).
+
+
+@lru_cache(maxsize=None)
+def _parent_tap_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static (8, 27) tables: TAP[o, t] = parent-level 27-tap index of the
+    parent of (child octant o)'s neighbour at offset t; OCT[o, t] = that
+    neighbour's octant within it. Derivation: for per-axis child bit b
+    and offset d, the neighbour's parent offset is (b + d) >> 1 and its
+    bit is (b + d) & 1."""
+    offs = kernel_offsets("333")                     # (27, 3), raster order
+    tap = np.zeros((8, 27), np.int32)
+    oct_ = np.zeros((8, 27), np.int32)
+    for o in range(8):
+        bits = np.array([(o >> 2) & 1, (o >> 1) & 1, o & 1])  # x, y, z
+        for t in range(27):
+            s = bits + offs[t]
+            carry = s >> 1                           # in {-1, 0, 1}
+            tap[o, t] = np.argmax(np.all(offs == carry, axis=1))
+            b2 = s & 1
+            oct_[o, t] = (b2[0] << 2) | (b2[1] << 1) | b2[2]
+    return tap, oct_
+
+
+def _dense_base_neigh(octree: BatchedOctree, depth: int) -> jnp.ndarray:
+    """Neighbour table at the coarsest depth via a dense inverse map.
+
+    Builds inv[key] -> node index with one flat scatter (8^depth slots
+    per sample — only usable at coarse depths), then answers all 27*N
+    queries with one flat gather.
+    """
+    offsets = kernel_offsets("333")
+    K = offsets.shape[0]
+    keys = octree.key(depth)
+    B, N = keys.shape
+    lim = 2**depth
+    size = lim**3
+    valid = keys < SENTINEL
+    safe = jnp.where(valid, keys, 0)
+
+    stride = size + 1
+    slot = jnp.where(valid, keys, size)
+    gslot = (jnp.arange(B, dtype=jnp.int32)[:, None] * stride
+             + slot).reshape(-1)
+    ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None],
+                           (B, N)).reshape(-1)
+    inv = jnp.full((B * stride,), -1, jnp.int32)
+    inv = inv.at[gslot].set(ids, mode="drop")
+
+    offs = jnp.asarray(offsets)
+    inside = jnp.broadcast_to(valid[:, None, :], (B, K, N))
+    nk = jnp.zeros((B, K, N), jnp.int32)
+    for a in range(3):
+        c = (morton.compact1by2(safe >> (2 - a))[:, None, :]
+             + offs[None, :, a, None])
+        inside = inside & (c >= 0) & (c < lim)
+        nk = nk | (morton.part1by2(c) << (2 - a))
+    q = jnp.where(inside, nk, size)                 # out-of-volume -> -1 slot
+    gq = (jnp.arange(B, dtype=jnp.int32)[:, None, None] * stride + q)
+    tab = jnp.take(inv, gq.reshape(-1), axis=0).reshape(B, K, N)
+    return jnp.moveaxis(tab, 1, 2)                  # (B, N, K)
+
+
+def all_neigh_tables(octree: BatchedOctree,
+                     childrens: Tuple[jnp.ndarray, ...]) -> Tuple[jnp.ndarray, ...]:
+    """27-tap neighbour tables for every materialised depth, built
+    top-down by the parent recurrence. ``childrens``: per level,
+    (B, N_{d-1}, 8) child tables (None at the coarsest level).
+
+    Exactly equals per-level `neigh_table` (differential-tested) at
+    ~1/13th the device time.
+    """
+    tap_np, oct_np = _parent_tap_tables()
+    tap_tab = jnp.asarray(tap_np)                   # (8, 27)
+    oct_tab = jnp.asarray(oct_np)
+    out = [_dense_base_neigh(octree, octree.min_depth)]
+    for d in range(octree.min_depth + 1, octree.depth + 1):
+        lev = octree.level(d)
+        keys = octree.key(d)                        # (B, N)
+        B, N = keys.shape
+        parent = octree.parent(d)                   # (B, N) into Np
+        pneigh = out[-1]                            # (B, Np, 27)
+        children = childrens[lev]                   # (B, Np, 8)
+        Np = pneigh.shape[1]
+        o = jnp.where(keys < SENTINEL, keys & 7, 0).astype(jnp.int32)
+        tap = jnp.take(tap_tab, o, axis=0)          # (B, N, 27)
+        oct_ = jnp.take(oct_tab, o, axis=0)         # (B, N, 27)
+        # parent's neighbour at the static tap: flat gather from pneigh
+        base = (jnp.arange(B, dtype=jnp.int32) * Np)[:, None, None]
+        pn_idx = (jnp.where(parent >= 0, parent + base[..., 0], 0)[..., None]
+                  * 27 + tap)
+        pn = jnp.take(pneigh.reshape(-1), pn_idx.reshape(-1),
+                      axis=0).reshape(B, N, 27)
+        pn = jnp.where(parent[..., None] >= 0, pn, -1)
+        # that neighbour's child at the static octant: flat gather
+        cn_idx = (jnp.where(pn >= 0, pn + base, 0) * 8 + oct_)
+        cn = jnp.take(children.reshape(-1), cn_idx.reshape(-1),
+                      axis=0).reshape(B, N, 27)
+        cn = jnp.where(pn >= 0, cn, -1)
+        out.append(cn)
+    return tuple(out)
+
+
 def child_table(octree: BatchedOctree, depth: int) -> jnp.ndarray:
     """(B, N_{depth-1}, 8) indices of each parent's children at ``depth``.
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from hotformerloc_tpu.octree.build import BatchedOctree
-from hotformerloc_tpu.octree.neigh import child_table, neigh_table
+from hotformerloc_tpu.octree.neigh import all_neigh_tables, child_table
 
 
 @struct.dataclass
@@ -60,12 +60,15 @@ class OctreePlan:
 
 
 def build_plan(octree: BatchedOctree) -> OctreePlan:
-    """Compute neighbour + child tables for every materialised depth."""
-    neighs = []
-    childrens = []
-    for d in range(octree.min_depth, octree.depth + 1):
-        neighs.append(neigh_table(octree, d, "333"))
-        childrens.append(child_table(octree, d) if d > octree.min_depth
-                         else None)
-    return OctreePlan(octree=octree, neighs=tuple(neighs),
-                      childrens=tuple(childrens))
+    """Compute neighbour + child tables for every materialised depth.
+
+    Child tables come first (one flat scatter each), then ALL neighbour
+    tables are derived top-down by the parent recurrence
+    (octree/neigh.all_neigh_tables) — ~13x cheaper on TPU than the
+    per-level binary search and differential-tested equal to it.
+    """
+    childrens = tuple(
+        child_table(octree, d) if d > octree.min_depth else None
+        for d in range(octree.min_depth, octree.depth + 1))
+    neighs = all_neigh_tables(octree, childrens)
+    return OctreePlan(octree=octree, neighs=neighs, childrens=childrens)

@@ -46,6 +46,15 @@ def main():
     octree = jax.tree_util.tree_map(
         lambda x: jax.device_put(x) if hasattr(x, "shape") else x, octree)
 
+    from hotformerloc_tpu.ops.plan import build_plan
+
+    f = jax.jit(lambda p, m: jax.tree_util.tree_leaves(build_plan(
+        build_batched_octree(p, m, cfg.octree_depth, cfg.min_depth,
+                             cfg.resolve_capacities()))))
+    ms = _timeit(f, (pts, msk))
+    print(json.dumps({"stage": "build+plan(full)", "ms": round(ms, 2)}),
+          flush=True)
+
     for d in range(cfg.min_depth, cfg.octree_depth + 1):
         f = jax.jit(lambda o, dd=d: neigh_table(o, dd, "333"))
         ms = _timeit(f, (octree,))

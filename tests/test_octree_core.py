@@ -173,6 +173,27 @@ class TestNeigh:
                     assert tab[b, i, k] == expect
             assert np.all(tab[b, cnt:] == -1)
 
+    def test_all_neigh_tables_match_search(self):
+        # The table-driven parent recurrence (all_neigh_tables, the ocnn
+        # construct_all_neigh design) must equal the golden-tested
+        # binary-search neigh_table at EVERY depth, including partially
+        # masked clouds (padding rows all -1).
+        rng = np.random.default_rng(9)
+        pts = np.stack([rand_points(rng, 500) for _ in range(3)])
+        mask = np.ones(pts.shape[:2], dtype=bool)
+        mask[1, 350:] = False
+        oc = build_batched_octree(jnp.asarray(pts), jnp.asarray(mask), 6, 2)
+        childrens = tuple(
+            child_table(oc, d) if d > oc.min_depth else None
+            for d in range(oc.min_depth, oc.depth + 1))
+        from hotformerloc_tpu.octree.neigh import all_neigh_tables
+        got = all_neigh_tables(oc, childrens)
+        for d in range(oc.min_depth, oc.depth + 1):
+            want = np.asarray(neigh_table(oc, d, "333"))
+            np.testing.assert_array_equal(
+                np.asarray(got[oc.level(d)]), want,
+                err_msg=f"depth {d}")
+
     def test_identity_tap(self):
         _, oc = self._octree()
         tab = np.asarray(neigh_table(oc, 4, "111"))
