@@ -79,6 +79,10 @@ class WindowAttention(nn.Module):
     proj_drop: float = 0.0
     qkv_bias: bool = True
     use_pallas: bool = False
+    # Static coordinate range (2^depth) of xyz_w. When set, the RPE bias
+    # uses the scatter-free custom adjoint (ops/rpe.py); when None it
+    # falls back to plain autodiff through the table gather.
+    coord_range: Optional[int] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -128,20 +132,19 @@ class WindowAttention(nn.Module):
             if use_rpe:
                 # rel-pos bias: per-axis table rows summed over x/y/z
                 # (RPE, models/layers/octformer_layers.py:144-174).
-                # Gather per axis from the transposed (H, 3*num) table so
-                # every temp keeps K (not H or 3) as the minor dim — a
+                # Gathers read the transposed (H, 3*num) table so every
+                # temp keeps K (not H or 3) as the minor dim — a
                 # (..., 3, H) layout tile-pads ~21x on TPU and was the
-                # dominant HBM allocation of the whole train step.
-                num = 2 * bnd + 1
+                # dominant HBM allocation of the whole train step. With
+                # coord_range set, the table-gradient is matmuls instead
+                # of a scatter-add (ops/rpe.py).
+                from hotformerloc_tpu.ops.rpe import (rpe_bias,
+                                                      rpe_bias_reference)
                 tab_t = table.astype(self.dtype).T         # (H, 3*num)
-                bias = None
-                for a in range(3):
-                    rel_a = (xyz_w[:, :, :, None, a]
-                             - xyz_w[:, :, None, :, a])    # (B,W,K,K)
-                    ia = jnp.clip(rel_a, -bnd, bnd) + bnd + a * num
-                    ba = jnp.take(tab_t, ia, axis=1)       # (H,B,W,K,K)
-                    bias = ba if bias is None else bias + ba
-                bias = jnp.moveaxis(bias, 0, 2)            # (B,W,H,K,K)
+                if self.coord_range is not None:
+                    bias = rpe_bias(tab_t, xyz_w, bnd, self.coord_range)
+                else:
+                    bias = rpe_bias_reference(tab_t, xyz_w, bnd)
                 if G > 0:
                     bias = jnp.pad(bias, ((0, 0), (0, 0), (0, 0),
                                           (G, 0), (G, 0)))

@@ -73,6 +73,7 @@ class OctFormerBlock(nn.Module):
         h = WindowAttention(self.dim, self.num_heads, K, D, 0, self.use_rpe,
                             self.attn_drop, self.proj_drop,
                             use_pallas=self.use_pallas,
+                            coord_range=2 ** ctx.depth,
                             dtype=self.dtype)(h, key_mask, xyz_w,
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)
@@ -135,6 +136,7 @@ class HOTFormerBlock(nn.Module):
         h = WindowAttention(self.dim, self.num_heads, K, 1, G, self.use_rpe,
                             self.attn_drop, self.proj_drop,
                             use_pallas=self.use_pallas,
+                            coord_range=2 ** ctx.depth,
                             dtype=self.dtype)(h, key_mask, xyz_w,
                                               deterministic)
         h = LayerScale(self.dim, self.layer_scale, self.dtype)(h)

@@ -157,9 +157,16 @@ def _dense_base_neigh(octree: BatchedOctree, depth: int) -> jnp.ndarray:
     safe = jnp.where(valid, keys, 0)
 
     stride = size + 1
-    slot = jnp.where(valid, keys, size)
-    gslot = (jnp.arange(B, dtype=jnp.int32)[:, None] * stride
-             + slot).reshape(-1)
+    # Padding rows must NOT write into the inverse map: slot `size` is the
+    # read-back slot for invalid queries and has to stay -1. Route padding
+    # scatters past the end of the buffer so mode="drop" discards them
+    # (regression: a non-full base level used to poison slot `size` with
+    # the last padding row's id, corrupting every missing neighbour).
+    gslot = jnp.where(
+        valid,
+        jnp.arange(B, dtype=jnp.int32)[:, None] * stride + safe,
+        B * stride,
+    ).reshape(-1)
     ids = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None],
                            (B, N)).reshape(-1)
     inv = jnp.full((B * stride,), -1, jnp.int32)

@@ -194,6 +194,31 @@ class TestNeigh:
                 np.asarray(got[oc.level(d)]), want,
                 err_msg=f"depth {d}")
 
+    def test_all_neigh_tables_nonfull_base_level(self):
+        # Regression (round-2 HEAD): when the coarsest level is NOT full
+        # (count < cap, so padding rows exist), _dense_base_neigh's padding
+        # rows used to scatter their ids into the inverse-map dump slot
+        # that invalid queries read back, returning the last padding row
+        # instead of -1 for every missing neighbour. A base level at
+        # min_depth 4 with few points guarantees padding rows.
+        rng = np.random.default_rng(21)
+        pts = np.stack([rand_points(rng, 300) for _ in range(2)])
+        mask = np.ones(pts.shape[:2], dtype=bool)
+        mask[1, 200:] = False
+        oc = build_batched_octree(jnp.asarray(pts), jnp.asarray(mask), 6, 4)
+        assert int(oc.count(oc.min_depth)[0]) < oc.cap(oc.min_depth), \
+            "fixture must exercise a non-full base level"
+        childrens = tuple(
+            child_table(oc, d) if d > oc.min_depth else None
+            for d in range(oc.min_depth, oc.depth + 1))
+        from hotformerloc_tpu.octree.neigh import all_neigh_tables
+        got = all_neigh_tables(oc, childrens)
+        for d in range(oc.min_depth, oc.depth + 1):
+            want = np.asarray(neigh_table(oc, d, "333"))
+            np.testing.assert_array_equal(
+                np.asarray(got[oc.level(d)]), want,
+                err_msg=f"depth {d}")
+
     def test_identity_tap(self):
         _, oc = self._octree()
         tab = np.asarray(neigh_table(oc, 4, "111"))
