@@ -99,8 +99,7 @@ class TrainingDataset:
         return pc
 
     def make_batch(self, labels: List[int], num_points: int,
-                   rng: np.random.Generator,
-                   local_slice: Optional[slice] = None):
+                   rng, local_slice: Optional[slice] = None):
         """Assemble a batch (or, multi-host, one host's shard of it).
 
         With ``local_slice`` only that contiguous row range of the
@@ -109,17 +108,43 @@ class TrainingDataset:
         shards stitched by `parallel.mesh.make_global_batch` reproduce
         exactly the single-host batch (SURVEY.md §2.10: per-host input
         pipeline feeding global batches).
+
+        ``rng`` is either a Generator (single-host convenience) or a
+        seed-sequence tuple; with a tuple every random draw is keyed by
+        (root, batch-position) so the batch content is IDENTICAL for
+        any process_count. In particular the batch-level set_transform
+        (one rigid rotation per GLOBAL batch in the reference,
+        /root/reference/datasets/augmentation.py:11-29) draws the same
+        rotation on every host, and each cloud's augmentations are
+        keyed by its global row, not by which host loads it.
         """
+        if isinstance(rng, np.random.Generator):
+            root: Tuple[int, ...] = tuple(
+                int(x) for x in rng.integers(0, 2**31 - 1, 2))
+        else:
+            root = tuple(int(x) for x in rng)
+        lo = 0 if local_slice is None else local_slice.start
         local = labels if local_slice is None else labels[local_slice]
-        clouds = [self.load_cloud(l, rng) for l in local]
+        clouds = [
+            self.load_cloud(l, np.random.default_rng((*root, 2, lo + i)))
+            for i, l in enumerate(local)]
         if self.set_transform is not None:
-            # same batch-level transform instance+draw for all clouds
+            # same batch-level transform draw for all clouds AND all
+            # hosts: keyed by (root, 1), independent of the local shard
             merged = np.concatenate(clouds, axis=0)
-            merged = self.set_transform(merged, rng)
+            merged = self.set_transform(
+                merged, np.random.default_rng((*root, 1)))
             sizes = np.cumsum([len(c) for c in clouds])[:-1]
             clouds = np.split(merged, sizes, axis=0)
         clouds = [self.finalize_cloud(c) for c in clouds]
-        pts, msk = pack_clouds(clouds, num_points, rng)
+        # Per-cloud subsample keyed by global row (pack_clouds then has
+        # nothing left to subsample, keeping packing deterministic).
+        clouds = [
+            c[np.random.default_rng((*root, 3, lo + i)).choice(
+                len(c), num_points, replace=False)]
+            if len(c) > num_points else c
+            for i, c in enumerate(clouds)]
+        pts, msk = pack_clouds(clouds, num_points, rng=None)
         pos, neg = masks_for_batch(self.queries, labels)
         if local_slice is not None:
             pos, neg = pos[local_slice], neg[local_slice]
@@ -163,17 +188,21 @@ class DataLoader:
         if self.process_count > 1:
             group = self.process_count * BatchSampler.K
             batches = [b for b in batches if len(b) % group == 0]
-        rng = np.random.default_rng(
-            [self.seed + self.epoch, self.process_index])
+        # Seed root is (seed+epoch, batch_index) — identical on every
+        # host, so augmentation draws do not depend on process_count
+        # (reference: one set_transform draw per global batch,
+        # /root/reference/datasets/augmentation.py:11-29).
+        epoch = self.epoch
         self.epoch += 1
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
-                for labels in batches:
+                for bi, labels in enumerate(batches):
                     q.put(self.dataset.make_batch(
-                        labels, self.num_points, rng,
+                        labels, self.num_points,
+                        (self.seed + epoch, bi),
                         local_slice=self._local_slice(len(labels))))
             finally:
                 q.put(stop)

@@ -64,12 +64,13 @@ class ModelConfig:
             raise ValueError(
                 f"patch_size ({self.patch_size}) must be divisible by "
                 f"ct_size/rt_size ({self.rt_size})")
-        if "N" in self.input_features:
-            raise NotImplementedError(
-                "input feature 'N' (normals) requires per-point normals; "
-                "no shipped dataset or config provides them (reference "
-                "models/model_factory.py:9-23 parses 'N' but every "
-                "released config uses 'P'). Supply 'P'/'L'/'D' instead.")
+        bad = set(self.input_features) - set("NDLP")
+        if bad:
+            raise ValueError(
+                f"invalid input features {sorted(bad)}; must be in "
+                "['L','P','D','N'] (models/model_factory.py:9-23). "
+                "'N' additionally requires per-point normals passed to "
+                "the model call.")
 
     # -- derived ---------------------------------------------------------
     @property

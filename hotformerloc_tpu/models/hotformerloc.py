@@ -26,26 +26,34 @@ Dtype = Any
 
 def input_features(octree, feature_str: str = "P") -> jnp.ndarray:
     """Per-leaf input features ~ ocnn.modules.InputFeature
-    (consumed at models/hotformerloc.py:28-31). 'P' = mean point position
-    of the leaf octant in the global [-1, 1] frame (3ch); 'L' = local
-    displacement from the octant centre in voxel units (3ch); 'D' = its
-    norm (1ch). Padding leaves get zeros."""
+    (consumed at models/hotformerloc.py:28-31). 'N' = mean per-point
+    normal of the leaf octant (3ch); 'D' = norm of the displacement from
+    the octant centre in voxel units (1ch); 'L' = that displacement
+    (3ch); 'P' = mean point position in the global [-1, 1] frame (3ch).
+    Channels are assembled in ocnn's canonical N, D, L, P order
+    regardless of the string order (ocnn Octree.get_input_feature).
+    Padding leaves get zeros."""
     from hotformerloc_tpu.octree import morton
     feats = []
     valid = octree.node_valid(octree.depth)[..., None]
-    if "P" in feature_str:
-        feats.append(jnp.where(valid, octree.leaf_mean, 0.0))
+    if "N" in feature_str:
+        assert octree.leaf_normal is not None, (
+            "input feature 'N' needs per-point normals: pass normals to "
+            "build_batched_octree / HOTFormerLoc.__call__")
+        feats.append(jnp.where(valid, octree.leaf_normal, 0.0))
     if "L" in feature_str or "D" in feature_str:
         centre = morton.grid_to_points(
             octree.xyz(octree.depth).astype(jnp.float32) + 0.5,
             octree.depth)
         scale = 2.0 ** (octree.depth - 1)   # voxel units, as in ocnn
         disp = (octree.leaf_mean - centre) * scale
-        if "L" in feature_str:
-            feats.append(jnp.where(valid, disp, 0.0))
         if "D" in feature_str:
             feats.append(jnp.where(
                 valid, jnp.linalg.norm(disp, axis=-1, keepdims=True), 0.0))
+        if "L" in feature_str:
+            feats.append(jnp.where(valid, disp, 0.0))
+    if "P" in feature_str:
+        feats.append(jnp.where(valid, octree.leaf_mean, 0.0))
     assert feats, f"no valid input features in '{feature_str}'"
     return jnp.concatenate(feats, axis=-1)
 
@@ -64,10 +72,14 @@ class HOTFormerLoc(nn.Module):
 
     @nn.compact
     def __call__(self, points, pmask, deterministic: bool = True,
-                 train: bool = False):
+                 train: bool = False, normals=None):
         c = self.cfg
+        if "N" in c.input_features and normals is None:
+            raise ValueError("input feature 'N' requires a (B, P, 3) "
+                             "normals argument")
         octree = build_batched_octree(points, pmask, c.octree_depth,
-                                      c.min_depth, c.resolve_capacities())
+                                      c.min_depth, c.resolve_capacities(),
+                                      normals=normals)
         plan = build_plan(octree)
         feat = input_features(octree, c.input_features).astype(self.dtype)
 

@@ -8,6 +8,7 @@ per-sample static octree arrays.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
@@ -114,41 +115,103 @@ class Norm(nn.Module):
         raise ValueError(f"unknown norm kind {self.kind}")
 
 
-class PowerNorm(nn.Module):
-    """MaskPowerNorm equivalent: x / sqrt(running E[x^2]) * g + b.
+def _group_scaling(xf: jnp.ndarray, group_num: int,
+                   eps: float) -> jnp.ndarray:
+    """GroupScaling1D (mask_powernorm.py:17-37): divide every position by
+    the sqrt of its channel-group second moment."""
+    C = xf.shape[-1]
+    cg = C // group_num
+    g = xf.reshape(*xf.shape[:-1], group_num, cg)
+    m2 = jnp.mean(g * g, axis=-1, keepdims=True)
+    return (g / jnp.sqrt(m2 + eps)).reshape(xf.shape)
 
-    Simplified from /root/reference/models/layers/mask_powernorm.py:97-180
-    (not used by any shipped config; provided for feature parity).
-    momentum matches the reference's alpha_fwd=0.9 default
-    (mask_powernorm.py:103).
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _power_core(xs, denom, var, ema_gz, abkw):
+    """z = xs * rsqrt(denom + eps-folded-in) with the PowerNorm paper's
+    APPROXIMATE backward (PowerFunction, mask_powernorm.py:43-95): the
+    denominator is treated as a constant (no grad through var), and
+    gx = (g - (1 - abkw) * ema_gz * z) * rsqrt(var) — always the BATCH
+    var, even when the forward normalised by running_phi."""
+    return xs * jax.lax.rsqrt(denom)
+
+
+def _power_core_fwd(xs, denom, var, ema_gz, abkw):
+    z = xs * jax.lax.rsqrt(denom)
+    return z, (z, var, ema_gz)
+
+
+def _power_core_bwd(abkw, res, g):
+    z, var, ema_gz = res
+    gx = (g - (1.0 - abkw) * ema_gz * z) * jax.lax.rsqrt(var)
+    return gx, None, None, None
+
+
+_power_core.defvjp(_power_core_fwd, _power_core_bwd)
+
+
+class PowerNorm(nn.Module):
+    """MaskPowerNorm (/root/reference/models/layers/mask_powernorm.py:97-180;
+    unused by any shipped config, provided for feature parity):
+    GroupScaling -> normalise by the masked batch second moment during
+    warmup / by running_phi after -> affine, with the PowerNorm paper's
+    approximate custom backward (PowerFunction, :43-95).
+
+    One documented deviation: the reference mutates its `ema_gz` buffer
+    INSIDE torch's backward pass; a functional JAX VJP cannot write
+    module state, so `ema_gz` keeps its value between explicit updates
+    (zeros unless an outer training loop threads it). The backward
+    formula itself honours whatever `ema_gz` holds, and at ema_gz = 0 it
+    equals the reference's first-step backward exactly.
     """
     features: int
-    momentum: float = 0.9
     eps: float = 1e-5
+    alpha_fwd: float = 0.9
+    alpha_bkw: float = 0.9
+    warmup_iters: int = 10000
+    group_num: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, valid=None, use_running_average: bool = True):
-        ra_m2 = self.variable("batch_stats", "m2",
-                              lambda: jnp.ones(self.features, jnp.float32))
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        phi = self.variable("batch_stats", "running_phi",
+                            lambda: jnp.ones(self.features, jnp.float32))
+        ema_gz = self.variable("batch_stats", "ema_gz",
+                               lambda: jnp.zeros(self.features, jnp.float32))
+        iters = self.variable("batch_stats", "iters",
+                              lambda: jnp.zeros((), jnp.int32))
+        weight = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         xf = x.astype(jnp.float32)
+        xs = _group_scaling(xf, self.group_num, self.eps)
         if use_running_average:
-            m2 = ra_m2.value
+            z = xs * jax.lax.rsqrt(phi.value + self.eps)
         else:
+            it = iters.value + 1
             if valid is None:
-                m2 = jnp.mean(xf * xf, axis=tuple(range(x.ndim - 1)))
+                var = jnp.mean(xs * xs, axis=tuple(range(x.ndim - 1)))
             else:
                 w = valid.astype(jnp.float32)[..., None]
                 n = jnp.maximum(jnp.sum(w), 1.0)
-                m2 = jnp.sum(xf * xf * w,
-                             axis=tuple(range(x.ndim - 1))) / n
+                var = jnp.sum(xs * xs * w,
+                              axis=tuple(range(x.ndim - 1))) / n
+            denom = jnp.where(it <= self.warmup_iters, var, phi.value) \
+                + self.eps
+            z = _power_core(xs, denom, var + self.eps, ema_gz.value,
+                            self.alpha_bkw)
             if not self.is_initializing():
-                mom = self.momentum
-                ra_m2.value = mom * ra_m2.value + (1 - mom) * m2
-        y = xf * jax.lax.rsqrt(m2 + self.eps)
-        return (y * scale + bias).astype(self.dtype)
+                # running_phi update sequence (mask_powernorm.py:68-70):
+                # a cumulative average during warmup, then the EMA step
+                # UNCONDITIONALLY on top of it.
+                itf = it.astype(jnp.float32)
+                phi1 = jnp.where(it < self.warmup_iters,
+                                 phi.value * (itf - 1.0) / itf + var / itf,
+                                 phi.value)
+                phi.value = (self.alpha_fwd * phi1
+                             + (1.0 - self.alpha_fwd) * var)
+                iters.value = it
+        y = z * weight + bias
+        return y.astype(self.dtype)
 
 
 conv_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in",

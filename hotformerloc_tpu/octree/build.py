@@ -74,6 +74,10 @@ class BatchedOctree:
         default worst-case capacities; with occupancy-tuned capacities
         (tools/measure_occupancy.py) this is surfaced in the train stats
         so silent accuracy loss is impossible.
+      leaf_normal: optional (B, cap_leaf, 3) float32 mean point normal
+        per leaf octant (zero for padding); present only when the build
+        was given per-point normals. Source of the 'N' input feature
+        (ocnn InputFeature 'N', /root/reference/models/model_factory.py:9-23).
     """
     depth: int = struct.field(pytree_node=False)
     min_depth: int = struct.field(pytree_node=False)
@@ -84,6 +88,7 @@ class BatchedOctree:
     leaf_mean: jnp.ndarray
     leaf_npts: jnp.ndarray
     overflow: jnp.ndarray
+    leaf_normal: Optional[jnp.ndarray] = None
 
     # -- indexed accessors (depth-keyed) --------------------------------
     def level(self, d: int) -> int:
@@ -142,8 +147,10 @@ def _unique_sorted(skeys: jnp.ndarray, cap: int):
 
 
 def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
-                  min_depth: int, caps: Tuple[int, ...]):
-    """Build one sample's octree. points: (P, 3) in [-1,1], pmask: (P,)."""
+                  min_depth: int, caps: Tuple[int, ...],
+                  normals: Optional[jnp.ndarray] = None):
+    """Build one sample's octree. points: (P, 3) in [-1,1], pmask: (P,),
+    normals: optional (P, 3) per-point normals averaged per leaf."""
     nlev = depth - min_depth + 1
     assert len(caps) == nlev
     grid = morton.points_to_grid(points, depth)
@@ -162,6 +169,13 @@ def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
     pt_cnt = jax.ops.segment_sum(w, seg_id,
                                  num_segments=cap_leaf + 1)[:cap_leaf]
     leaf_mean = pt_sum / jnp.maximum(pt_cnt, 1.0)[:, None]
+    leaf_normal = None
+    if normals is not None:
+        # Mean point normal per leaf octant, matching ocnn's per-octant
+        # average of point attributes (the 'N' input feature source).
+        n_sum = jax.ops.segment_sum(normals[order] * w[:, None], seg_id,
+                                    num_segments=cap_leaf + 1)[:cap_leaf]
+        leaf_normal = n_sum / jnp.maximum(pt_cnt, 1.0)[:, None]
 
     keys_all = [None] * nlev
     counts_all = [None] * nlev
@@ -183,14 +197,16 @@ def _build_single(points: jnp.ndarray, pmask: jnp.ndarray, depth: int,
             cvalid & (seg_id_d < caps[lev]), seg_id_d, -1).astype(jnp.int32)
         child_keys = ukeys
     return (tuple(keys_all), tuple(counts_all), tuple(parents_all),
-            leaf_mean, pt_cnt, ovf)
+            leaf_mean, pt_cnt, ovf, leaf_normal)
 
 
 def build_batched_octree(points: jnp.ndarray, pmask: jnp.ndarray,
                          depth: int, min_depth: int,
-                         caps: Optional[Tuple[int, ...]] = None
+                         caps: Optional[Tuple[int, ...]] = None,
+                         normals: Optional[jnp.ndarray] = None
                          ) -> BatchedOctree:
     """Build a BatchedOctree from (B, P, 3) points with (B, P) validity.
+    ``normals``: optional (B, P, 3) per-point normals ('N' features).
 
     Fully jit-compatible; vmapped over the batch axis so it shards along
     the data-parallel mesh axis with zero communication.
@@ -198,12 +214,18 @@ def build_batched_octree(points: jnp.ndarray, pmask: jnp.ndarray,
     assert points.ndim == 3 and points.shape[-1] == 3
     if caps is None:
         caps = default_capacities(points.shape[1], depth, min_depth)
-    build = lambda p, m: _build_single(p, m, depth, min_depth, caps)
-    keys, counts, parents, leaf_mean, leaf_npts, overflow = jax.vmap(build)(
-        points, pmask)
+    if normals is None:
+        build = lambda p, m: _build_single(p, m, depth, min_depth, caps)
+        (keys, counts, parents, leaf_mean, leaf_npts, overflow,
+         leaf_normal) = jax.vmap(build)(points, pmask)
+    else:
+        build = lambda p, m, n: _build_single(p, m, depth, min_depth,
+                                              caps, n)
+        (keys, counts, parents, leaf_mean, leaf_npts, overflow,
+         leaf_normal) = jax.vmap(build)(points, pmask, normals)
     # vmap maps None -> None inside tuples only if structure matches;
     # parents[0] is None per-sample, tuples come back with None preserved.
     return BatchedOctree(depth=depth, min_depth=min_depth, caps=caps,
                          keys=keys, counts=counts, parents=parents,
                          leaf_mean=leaf_mean, leaf_npts=leaf_npts,
-                         overflow=overflow)
+                         overflow=overflow, leaf_normal=leaf_normal)

@@ -48,7 +48,7 @@ def make_synthetic_dataset(path: str, n: int = 16, points: int = 256,
 
 
 def run(data_dir: str, processes: int, rank: int, coord: str,
-        devices_per_proc: int) -> dict:
+        devices_per_proc: int, transforms: bool = False) -> dict:
     # Backend config BEFORE any jax device use. Each rank gets its OWN
     # persistent-cache dir: with a shared dir one rank can load a cached
     # (even foreign-machine AOT) executable while the other compiles
@@ -98,8 +98,20 @@ def run(data_dir: str, processes: int, rank: int, coord: str,
     mesh = make_mesh()                       # all global devices
 
     cfg = tiny_test_config(num_points=256)
+    tr = st = None
+    if transforms:
+        # WITH augmentation: every draw is keyed by (epoch, batch,
+        # global row) in the DataLoader, so the 2-process batch must
+        # still reproduce the single-process batch exactly — including
+        # the batch-level set_transform rotation, which the reference
+        # draws ONCE per global batch (datasets/augmentation.py:11-29).
+        from hotformerloc_tpu.data.augmentation import (make_set_transform,
+                                                        make_train_transform)
+        tr = make_train_transform(2, random_rot_theta=180.0)
+        st = make_set_transform(1)
     ds = TrainingDataset(data_dir, "train_tuples.pickle",
-                         PNVPointCloudLoader())
+                         PNVPointCloudLoader(), transform=tr,
+                         set_transform=st)
     sampler = BatchSampler(ds.queries, batch_size=8, seed=7,
                            max_batches=1)
     loader = DataLoader(ds, sampler, cfg.num_points, seed=3,
@@ -140,11 +152,13 @@ def main():
     ap.add_argument("--devices-per-proc", type=int, default=2)
     ap.add_argument("--out", default=None)
     ap.add_argument("--make-dataset", action="store_true")
+    ap.add_argument("--transforms", action="store_true",
+                    help="run WITH per-cloud + batch-level augmentation")
     args = ap.parse_args()
     if args.make_dataset:
         make_synthetic_dataset(args.data)
     res = run(args.data, args.processes, args.rank, args.coord,
-              args.devices_per_proc)
+              args.devices_per_proc, transforms=args.transforms)
     line = json.dumps(res)
     print(line)
     if args.out:

@@ -28,42 +28,68 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 
-def _top_ops_from_xplane(trace_dir: str, top_n: int = 10
-                         ) -> List[Dict[str, object]]:
-    """Parse xplane protos under trace_dir into a list of
-    {op, time_us, pct} dicts sorted by self time (descending).
+def _classify(cat: str, fw_op: str) -> str:
+    """Coarse per-op class for the rollup: gather / scatter / conv /
+    matmul / collective / elementwise-fusion / other."""
+    s = (cat + " " + fw_op).lower()
+    if "scatter" in s:
+        return "scatter"
+    if "gather" in s or "take" in s or "dynamic-slice" in s:
+        return "gather"
+    if "convolution" in s or "conv" in s:
+        return "conv"
+    if "dot" in s or "einsum" in s or "matmul" in s:
+        return "matmul"
+    if any(k in s for k in ("all-reduce", "all-gather", "collective",
+                            "reduce-scatter", "psum")):
+        return "collective"
+    if "copy" in s or "transpose" in s or "reshape" in s:
+        return "copy/transpose"
+    if "fusion" in s:
+        return "fusion(elementwise)"
+    return "other"
 
-    Uses the xprof converter when available; returns [] when the
+
+def _top_ops_from_xplane(trace_dir: str, top_n: int = 25
+                         ) -> Tuple[List[Dict[str, object]],
+                                    List[Dict[str, object]]]:
+    """Parse xplane protos under trace_dir into (top_ops, rollup).
+
+    top_ops: {op, time_us, pct} sorted by self time desc, top_n rows.
+    rollup: per-class {cls, time_us, pct, count} over ALL ops, so the
+    long tail is visible even when no single op is hot.
+    Uses the xprof converter when available; returns ([], []) when the
     package or the trace files are missing (e.g. stripped CPU images).
     """
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                              recursive=True))
     if not paths:
-        return []
+        return [], []
     try:
         from xprof.convert import raw_to_tool_data as rtd
     except Exception:
-        return []
+        return [], []
     try:
         data, _ = rtd.xspace_to_tool_data(paths, "hlo_stats", {})
         if isinstance(data, bytes):
             data = data.decode()
         tbl = json.loads(data) if isinstance(data, str) else data
     except Exception:
-        return []
+        return [], []
     # gviz DataTable: {"cols": [{id, label, ...}], "rows": [{"c": [{"v"}]}]}
     if not isinstance(tbl, dict) or "cols" not in tbl:
-        return []
+        return [], []
     idx = {c.get("id"): i for i, c in enumerate(tbl["cols"])}
     need = ("hlo_op_name", "category", "total_self_time", "occurrences")
     if any(k not in idx for k in need):
-        return []
+        return [], []
 
     def val(row, key):
         cell = row["c"][idx[key]]
         return cell.get("v") if isinstance(cell, dict) else None
 
     ops: Dict[str, Dict[str, float]] = {}
+    rollup: Dict[str, Dict[str, float]] = {}
     total = 0.0
     for r in tbl.get("rows", []):
         name = val(r, "hlo_op_name") or "?"
@@ -76,12 +102,20 @@ def _top_ops_from_xplane(trace_dir: str, top_n: int = 10
                                   "fw_op": fw, "time_us": 0.0, "count": 0})
         d["time_us"] += t
         d["count"] += occ
+        cls = _classify(cat, fw)
+        c = rollup.setdefault(cls, {"cls": cls, "time_us": 0.0, "count": 0})
+        c["time_us"] += t
+        c["count"] += occ
     total = total or 1.0
     table = sorted(ops.values(), key=lambda d: -d["time_us"])[:top_n]
     for d in table:
         d["time_us"] = round(d["time_us"], 1)
         d["pct"] = round(100.0 * d["time_us"] / total, 1)
-    return table
+    roll = sorted(rollup.values(), key=lambda d: -d["time_us"])
+    for d in roll:
+        d["time_us"] = round(d["time_us"], 1)
+        d["pct"] = round(100.0 * d["time_us"] / total, 1)
+    return table, roll
 
 
 def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
@@ -176,11 +210,13 @@ def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
         "arith_intensity": round(flops / nbytes, 2) if nbytes else 0.0,
         "bench_bar_submaps_s": BENCH_BASELINE_SUBMAPS_S,
     }
-    return summary, _top_ops_from_xplane(trace_dir)
+    top_ops, rollup = _top_ops_from_xplane(trace_dir)
+    return summary, top_ops, rollup
 
 
 def write_report(out: str, summary: Dict[str, float],
-                 top_ops: List[Dict[str, object]]) -> None:
+                 top_ops: List[Dict[str, object]],
+                 rollup: Optional[List[Dict[str, object]]] = None) -> None:
     lines = ["# Train-step profile (flagship Oxford config)", ""]
     lines.append("Generated by `python -m hotformerloc_tpu.tools."
                  "profile_step` — XLA cost analysis + jax profiler "
@@ -193,6 +229,15 @@ def write_report(out: str, summary: Dict[str, float],
     for k, v in summary.items():
         lines.append(f"| {k} | {v} |")
     lines.append("")
+    if rollup:
+        lines.append("## Per-class rollup (all ops, 100% of device time)")
+        lines.append("")
+        lines.append("| class | n | self time (us) | % |")
+        lines.append("|---|---|---|---|")
+        for r in rollup:
+            lines.append(f"| {r['cls']} | {r.get('count', '?')} | "
+                         f"{r['time_us']} | {r['pct']} |")
+        lines.append("")
     lines.append("## Top HLO ops by self time")
     lines.append("")
     if top_ops:
@@ -220,10 +265,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--batch", type=int, default=32)
     args = ap.parse_args(argv)
-    summary, top_ops = profile_train_step(args.iters, args.trace_dir,
-                                          args.batch)
+    summary, top_ops, rollup = profile_train_step(args.iters,
+                                                  args.trace_dir,
+                                                  args.batch)
     print(json.dumps(summary))
-    write_report(args.out, summary, top_ops)
+    write_report(args.out, summary, top_ops, rollup)
 
 
 if __name__ == "__main__":

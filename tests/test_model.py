@@ -175,10 +175,48 @@ class TestConfigValidation:
         with pytest.raises(ValueError, match="divisible"):
             tiny_test_config(rt_size=3)  # patch_size 8 % 3 != 0
 
-    def test_input_feature_normals_unsupported(self):
-        # explicit failure for 'N' (reference models/model_factory.py:9-23)
-        with pytest.raises(NotImplementedError, match="normals"):
-            tiny_test_config(input_features="PN")
+    def test_input_feature_validation(self):
+        with pytest.raises(ValueError, match="invalid input features"):
+            tiny_test_config(input_features="PX")
+
+    def test_input_feature_normals_end_to_end(self):
+        # 'N' (reference models/model_factory.py:9-23): per-leaf mean of
+        # per-point normals, forwarded through the full model.
+        cfg = tiny_test_config(input_features="NP")
+        model = HOTFormerLoc(cfg)
+        rng = np.random.default_rng(8)
+        pts = jnp.asarray(_points(rng, 2, cfg.num_points))
+        nrm = rng.normal(0, 1, (2, cfg.num_points, 3))
+        nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+        nrm = jnp.asarray(nrm.astype(np.float32))
+        mask = jnp.ones(pts.shape[:2], dtype=bool)
+        with pytest.raises(ValueError, match="normals"):
+            model.init(jax.random.PRNGKey(0), pts, mask)
+        params = model.init(jax.random.PRNGKey(0), pts, mask, normals=nrm)
+        out = model.apply(params, pts, mask, normals=nrm)["global"]
+        assert out.shape == (2, cfg.output_dim)
+        assert np.all(np.isfinite(np.asarray(out)))
+
+    def test_leaf_normal_is_per_octant_mean(self):
+        from hotformerloc_tpu.models.hotformerloc import input_features
+        from hotformerloc_tpu.octree.build import build_batched_octree
+        from hotformerloc_tpu.octree import morton
+        rng = np.random.default_rng(9)
+        pts = rng.uniform(-1, 1, (1, 200, 3)).astype(np.float32)
+        nrm = rng.normal(0, 1, (1, 200, 3)).astype(np.float32)
+        mask = np.ones((1, 200), dtype=bool)
+        oc = build_batched_octree(jnp.asarray(pts), jnp.asarray(mask),
+                                  4, 2, normals=jnp.asarray(nrm))
+        feats = np.asarray(input_features(oc, "N"))
+        cnt = int(oc.count(4)[0])
+        keys = np.asarray(oc.key(4)[0][:cnt])
+        grid = np.asarray(morton.points_to_grid(jnp.asarray(pts[0]), 4))
+        pkeys = np.asarray(morton.encode(jnp.asarray(grid)))
+        for i in (0, cnt // 2, cnt - 1):
+            sel = pkeys == keys[i]
+            np.testing.assert_allclose(feats[0, i], nrm[0][sel].mean(0),
+                                       rtol=1e-5, atol=1e-6)
+        assert np.all(feats[0, cnt:] == 0)
 
     def test_rt_size2_uses_rt_pooling(self):
         """rt_size=2 doubles the relay-token count; the RT pooling head
