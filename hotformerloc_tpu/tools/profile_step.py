@@ -120,12 +120,13 @@ def _top_ops_from_xplane(trace_dir: str, top_n: int = 25
 
 def profile_train_step(iters: int = 5, trace_dir: str = "/tmp/jtrace",
                        batch_size: int = 32
-                       ) -> Tuple[Dict[str, float], List[Dict[str, object]]]:
+                       ) -> Tuple[Dict[str, float], List[Dict[str, object]],
+                                  List[Dict[str, object]]]:
     """Compile + time + trace the bench train step.
 
-    Returns (summary, top_ops). summary has flops/bytes per step from
-    XLA cost analysis, measured step seconds, and MFU when the chip's
-    peak is known.
+    Returns (summary, top_ops, rollup). summary has flops/bytes per step
+    from XLA cost analysis, measured step seconds, and MFU when the
+    chip's peak is known.
     """
     import jax
     import jax.numpy as jnp

@@ -252,4 +252,4 @@ class TestProfileStepTool:
 
     def test_top_ops_missing_dir(self, tmp_path):
         from hotformerloc_tpu.tools.profile_step import _top_ops_from_xplane
-        assert _top_ops_from_xplane(str(tmp_path / "nope")) == []
+        assert _top_ops_from_xplane(str(tmp_path / "nope")) == ([], [])
