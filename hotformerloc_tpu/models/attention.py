@@ -51,12 +51,15 @@ _FORCED_WINDOW_TILE: Optional[int] = None
 
 
 def _pick_window_tile(bw: int, limit: int = 8) -> int:
+    # Mosaic block rule: the sublane block dim must be a multiple of 8
+    # (or equal the full array dim), so tiles below 8 only when the
+    # whole array is one block.
     if _FORCED_WINDOW_TILE is not None and bw % _FORCED_WINDOW_TILE == 0:
         return _FORCED_WINDOW_TILE
-    for wt in (limit, 4, 2, 1):
-        if bw % wt == 0:
+    for wt in (limit, 16, 8):
+        if wt >= 8 and bw % wt == 0:
             return wt
-    return 1
+    return bw
 
 
 class WindowAttention(nn.Module):
@@ -119,8 +122,16 @@ class WindowAttention(nn.Module):
             mask_i = key_mask.reshape(B * W, T).astype(jnp.int32)
             wt = _pick_window_tile(B * W)
             interp = jax.default_backend() != "tpu"
+            cr = self.coord_range
+            if cr is None and use_rpe:
+                raise ValueError(
+                    "use_pallas with RPE requires coord_range (2^depth): "
+                    "the table gradient's one-hot decomposition must "
+                    "statically bound the window coords")
+            if cr is None:
+                cr = 1
             out = fused_window_attention(q, k, v, xyz_p, mask_i, tab, H, G,
-                                         bnd, use_rpe, wt, interp)
+                                         bnd, use_rpe, wt, interp, cr)
             out = out.reshape(B, W, T, C)
         else:
             qkv = qkv.reshape(B, W, T, 3, H, hd)

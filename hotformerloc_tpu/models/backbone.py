@@ -92,7 +92,9 @@ class OctFormerStage(nn.Module):
                       1 if i % 2 == 0 else c.dilation, c.mlp_ratio,
                       not c.disable_rpe, c.conv_norm, c.layer_scale,
                       c.xcpe, c.proj_drop, c.attn_drop,
-                      use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                      use_pallas=c.use_pallas_attn,
+                      cpe_dense=(ctx.depth <= c.dense_cpe_max_depth),
+                      dtype=self.dtype,
                       name=f"block{i}")(x, ctx, dp, deterministic, train)
         return x
 
@@ -120,7 +122,9 @@ class OctFormerStage(nn.Module):
                            not c.disable_rpe, c.conv_norm, c.layer_scale,
                            c.xcpe, c.proj_drop, c.attn_drop,
                            use_pallas=c.use_pallas_attn,
-                           rt_per_window=c.rt_size, dtype=self.dtype,
+                           rt_per_window=c.rt_size,
+                           cpe_dense=(ctx.depth <= c.dense_cpe_max_depth),
+                           dtype=self.dtype,
                            name=f"block{i}")(x, rt, ctx, dp, deterministic,
                                              train)
         return x
@@ -168,6 +172,7 @@ class HOTFormerIteration(nn.Module):
                 not c.disable_rpe, c.conv_norm, c.layer_scale, c.xcpe,
                 c.proj_drop, c.attn_drop, last=False, rt_propagation=False,
                 use_pallas=c.use_pallas_attn, rt_per_window=c.rt_size,
+                cpe_dense=(ctxs[j].depth <= c.dense_cpe_max_depth),
                 dtype=self.dtype,
                 name=f"hosa{j}")(locals_[j], rt_j, ctxs[j], drop_rate,
                                  self.deterministic, self.train)
@@ -236,7 +241,9 @@ class HOTFormerStage(nn.Module):
                         1 if i % 2 == 0 else c.dilation, c.mlp_ratio,
                         not c.disable_rpe, c.conv_norm, c.layer_scale,
                         c.xcpe, c.proj_drop, c.attn_drop,
-                        use_pallas=c.use_pallas_attn, dtype=self.dtype,
+                        use_pallas=c.use_pallas_attn,
+                        cpe_dense=(ctxs[j].depth <= c.dense_cpe_max_depth),
+                        dtype=self.dtype,
                         name=f"hosa_l{j}_b{i}")(
                             locals_[j], ctxs[j], dp, deterministic, train)
             local_dict = {d: f for d, f in zip(depths, locals_)}
@@ -255,7 +262,10 @@ class HOTFormerStage(nn.Module):
         if adape is None:
             if use_proj:
                 rt_cpes = [CPE(self.channels[j], c.conv_norm, c.xcpe,
-                               self.dtype, name=f"rt_init_cpe{j}")
+                               self.dtype,
+                               dense_grid=(depths[j]
+                                           <= c.dense_cpe_max_depth),
+                               name=f"rt_init_cpe{j}")
                            for j in range(L)]
             else:
                 shared = CPE(max_ch, c.conv_norm, c.xcpe, self.dtype,
@@ -265,7 +275,7 @@ class HOTFormerStage(nn.Module):
             src = locals_[j]
             if rt_cpes is not None:
                 src = rt_cpes[j](src, ctxs[j].neigh, ctxs[j].node_valid,
-                                 train)
+                                 train, ctx=ctxs[j])
             rt = ow.masked_window_mean(src, ctxs[j].node_valid, chunk)
             if adape is not None:
                 stats = ow.window_stats(ctxs[j].xyz, ctxs[j].node_valid, d,

@@ -57,14 +57,16 @@ class OctFormerBlock(nn.Module):
     proj_drop: float = 0.0
     attn_drop: float = 0.0
     use_pallas: bool = False
+    cpe_dense: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, ctx: LevelCtx, drop_path=0.0,
                  deterministic: bool = True, train: bool = False):
         K, D = self.patch_size, self.dilation
-        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
-            x, ctx.neigh, ctx.node_valid, train)
+        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype,
+                    dense_grid=self.cpe_dense)(
+            x, ctx.neigh, ctx.node_valid, train, ctx=ctx)
         xw = ow.data_to_windows(x, K, D)
         key_mask = ow.window_key_mask(ctx.node_valid, K, D)
         xyz_w = ow.data_to_windows(ctx.xyz, K, D) if self.use_rpe else None
@@ -109,6 +111,7 @@ class HOTFormerBlock(nn.Module):
     rt_propagation_scale: Optional[float] = None
     use_pallas: bool = False
     rt_per_window: int = 1   # ct_size/rt_size: G relay slots per window
+    cpe_dense: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -120,8 +123,9 @@ class HOTFormerBlock(nn.Module):
         # reference TokenInitialiser's view(-1, K//G, C) layout,
         # models/hotformerloc_backbone.py:319-333).
         K, G = self.patch_size, self.rt_per_window
-        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype)(
-            x, ctx.neigh, ctx.node_valid, train)
+        x = x + CPE(self.dim, self.conv_norm, self.xcpe, self.dtype,
+                    dense_grid=self.cpe_dense)(
+            x, ctx.neigh, ctx.node_valid, train, ctx=ctx)
         xw = ow.data_to_windows(x, K)                       # (B, W, K, C)
         B, W = xw.shape[:2]
         node_mask_w = ow.window_key_mask(ctx.node_valid, K)  # (B, W, K)

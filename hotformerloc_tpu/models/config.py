@@ -51,6 +51,11 @@ class ModelConfig:
     input_features: str = "P"
     # execution
     use_pallas_attn: bool = False   # fused Pallas window attention
+    # Depths at or below this run the CPE depthwise conv on a dense
+    # voxel grid (V = 8^d) instead of 27-tap row gathers — numerically
+    # equal, gather-free (ops/conv.octree_dwconv_dense). V <= 32k is the
+    # measured win region on v5e.
+    dense_cpe_max_depth: int = 5
     # octree / static shapes
     octree_depth: int = 9
     num_points: int = 4096

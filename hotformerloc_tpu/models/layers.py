@@ -316,14 +316,22 @@ class Downsample(nn.Module):
 class CPE(nn.Module):
     """Conditional positional encoding: depthwise octree conv + norm
     (models/layers/octformer_layers.py:122-142). ``xcpe=True`` swaps the
-    dwconv for a full conv + linear (PointTransformerV3 style)."""
+    dwconv for a full conv + linear (PointTransformerV3 style).
+
+    ``dense=True`` routes the dwconv through the dense voxel-grid
+    formulation (ops/conv.octree_dwconv_dense) — numerically equal,
+    gather-free, and much faster at coarse depths; requires ``ctx``
+    (the LevelCtx carrying keys/counts/xyz/depth).
+    """
     dim: int
     conv_norm: str = "layernorm"
     xcpe: bool = False
     dtype: Dtype = jnp.float32
+    dense_grid: bool = False
 
     @nn.compact
-    def __call__(self, x, neigh, valid=None, train: bool = False):
+    def __call__(self, x, neigh, valid=None, train: bool = False,
+                 ctx=None):
         if self.xcpe:
             w = self.param("kernel", conv_kernel_init,
                            (27, self.dim, self.dim))
@@ -333,8 +341,13 @@ class CPE(nn.Module):
             y = dense(self.dim, self.dtype, name="linear")(y)
         else:
             w = self.param("dw_kernel", conv_kernel_init, (27, self.dim, 1))
-            y = oconv.octree_dwconv(x, neigh,
-                                    w[..., 0].astype(self.dtype))
+            wd = w[..., 0].astype(self.dtype)
+            if self.dense_grid and ctx is not None and ctx.keys is not None:
+                y = oconv.octree_dwconv_dense(
+                    x, ctx.keys, ctx.counts, ctx.xyz, ctx.node_valid, wd,
+                    ctx.depth)
+            else:
+                y = oconv.octree_dwconv(x, neigh, wd)
         return Norm(self.dim, self.conv_norm, self.dtype)(y, valid, train)
 
 

@@ -3,25 +3,33 @@ replacing the materialised attention of the reference's OctreeAttention
 (/root/reference/models/octformer_backbone.py:69-85).
 
 Why fused: the XLA path materialises, per layer, the (B, W, H, T, T)
-logit tensor AND the (B, W, K, K, H) RPE bias in HBM (~1.5 GB of traffic
-per layer at Oxford scale) — the whole attention is HBM-bound. This
-kernel keeps each window tile resident in VMEM and never writes logits
-or bias to HBM.
+logit tensor AND the RPE bias in HBM, and the RPE table lookup lowers to
+an HBM gather measured at ~2.8 ms/call on v5e (docs/PROFILE.md round 3:
+WindowAttention gathers alone are >30% of the train step). This kernel
+keeps each window tile resident in VMEM: logits, softmax, and the RPE
+bias never touch HBM, and there is no gather anywhere.
 
-Why one-hot RPE: Mosaic has no general dynamic gather, so the per-axis
-table lookups sum_axis table[idx_axis] are computed as a single MXU
-matmul `onehot(idx) @ table`, where each row of the one-hot matrix
-carries three 1s (one per axis) — the matmul performs gather and
-axis-sum at once.
+RPE formulation (chosen after on-chip compiler probes —
+tools/mosaic_probe.py, tools/probe_attn_kernel*.py): the per-axis bias
+is bias_a[t, s] = table[clip(x_a[t] - x_a[s], ±bnd), h], i.e. a lookup
+in the (P, P) pair matrix Delta_a,h[p, q] = table[clip(p - q)] with
+P = 2^depth the static coordinate range. Delta is tiny and built OUTSIDE
+the kernel by a fold-matrix matmul; in-kernel the bias per tile is two
+small MXU matmuls per axis:  U_a @ Delta_a  and  (·) @ U_a^T  with
+U_a = one-hot(x_a) of shape (WT, K, P). This avoids the (WT, K, K, 3num)
+one-hot whose size crashes this toolchain's Mosaic backend, and every
+dot has ONE batch dim and ONE contraction (the only forms the compiler
+accepts).
 
-Interface mirrors models/attention.WindowAttention after the qkv
-projection; a custom VJP recomputes the fused forward per tile
-(flash-attention style) so the backward is also gather-free.
+The backward recomputes the forward per tile (flash-attention style)
+and emits dq/dk/dv plus the per-pair bias cotangent dbias; the table
+gradient is then three XLA einsums via per-axis coordinate one-hots
+(the scatter-free P-decomposition of ops/rpe.py) — no scatter-add ever
+reaches XLA on either path.
 """
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,234 +39,276 @@ from jax.experimental.pallas import tpu as pltpu
 MASK_VALUE = -1e9
 
 
-def _onehot_rows(xyz_tile, pos_bnd: int, compute_dtype):
-    """(WT, 3, K) int32 axis-plane coords -> (WT*K*K, 3*num) one-hot-sum.
+def _delta_tables(table, pos_bnd: int, P: int, dtype):
+    """(3*num, H) table -> (3, P, H*P) per-axis pair-bias matrices.
 
-    Each row carries three 1s (one per axis), so `rows @ table` performs
-    the three table gathers and the axis sum in a single MXU matmul.
-    Axis-plane layout keeps every intermediate's minor dim at K (lane
-    friendly) instead of 3.
+    Delta[a, p, h*P + q] = table[a*num + clip(p - q, ±bnd) + bnd, h].
+    Built with a fold one-hot matmul (no gather); differentiable, but
+    only consumed in the forward — table grads flow through the dbias
+    path in the custom VJP.
     """
-    WT, _, K = xyz_tile.shape
     num = 2 * pos_bnd + 1
-    R = 3 * num
-    col = jax.lax.broadcasted_iota(jnp.int32, (WT * K * K, R), 1)
-    oh = None
-    for a in range(3):
-        c = xyz_tile[:, a, :]
-        d = c[:, :, None] - c[:, None, :]                  # (WT, K, K)
-        idx = jnp.clip(d, -pos_bnd, pos_bnd) + pos_bnd + a * num
-        part = (col == idx.reshape(WT * K * K, 1)).astype(compute_dtype)
-        oh = part if oh is None else oh + part
-    return oh
-
-
-def _bias_from_xyz(xyz_tile, table, pos_bnd: int, compute_dtype):
-    """(WT, 3, K) coords + (3*num, H) table -> (WT, K, K, H) bias."""
-    WT, _, K = xyz_tile.shape
+    p = jnp.arange(P, dtype=jnp.int32)
+    diff = jnp.clip(p[:, None] - p[None, :], -pos_bnd, pos_bnd) + pos_bnd
+    fold = jax.nn.one_hot(diff, num, dtype=jnp.float32)      # (P, P, num)
     H = table.shape[-1]
-    oh = _onehot_rows(xyz_tile, pos_bnd, compute_dtype)
-    bias = jnp.dot(oh, table.astype(compute_dtype),
-                   preferred_element_type=jnp.float32)
-    return bias.reshape(WT, K, K, H)
+    outs = []
+    for a in range(3):
+        tab_a = table[a * num:(a + 1) * num, :].astype(jnp.float32)
+        d = jnp.einsum("pqj,jh->phq", fold, tab_a,
+                       preferred_element_type=jnp.float32)   # (P, H, P)
+        outs.append(d.reshape(P, H * P))
+    return jnp.stack(outs, axis=0).astype(dtype)             # (3, P, H*P)
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, table_ref, o_ref,
-                *, num_heads: int, rt_per_window: int, pos_bnd: int,
+def _axis_tensors(xyz_ref, delta_ref, P: int, K: int, cdt):
+    """Per-axis one-hots U_a (WT, K, P) and V_a = U_a @ Delta_a
+    (WT, K, H*P)."""
+    WT = xyz_ref.shape[0]
+    us, vs = [], []
+    for a in range(3):
+        c = xyz_ref[:, a, :]                                 # (WT, K)
+        col = jax.lax.broadcasted_iota(jnp.int32, (WT, K, P), 2)
+        u = (col == c[..., None]).astype(cdt)                # (WT, K, P)
+        v = jax.lax.dot_general(
+            u, delta_ref[a], (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)  # (WT, K, H*P)
+        us.append(u)
+        vs.append(v)
+    return us, vs
+
+
+def _head_bias(us, vs, h: int, P: int):
+    """bias_h (WT, K, K) = sum_a V_a[:, :, hP:(h+1)P] @ U_a^T."""
+    bias = None
+    for a in range(3):
+        vh = vs[a][:, :, h * P:(h + 1) * P]
+        b = jax.lax.dot_general(
+            vh, us[a], (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (WT, K, K)
+        bias = b if bias is None else bias + b
+    return bias
+
+
+def _head_logits(q_ref, k_ref, h: int, hd: int, scale: float):
+    qh = q_ref[:, :, h * hd:(h + 1) * hd]
+    kh = k_ref[:, :, h * hd:(h + 1) * hd]
+    return jax.lax.dot_general(
+        qh, kh, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale          # (WT, T, T)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, o_ref,
+                *, num_heads: int, rt_per_window: int, coord_range: int,
                 use_rpe: bool):
     WT, T, C = q_ref.shape
     H = num_heads
     hd = C // H
     G = rt_per_window
     K = T - G
+    P = coord_range
     cdt = q_ref.dtype
-    q = q_ref[:].reshape(WT, T, H, hd)
-    k = k_ref[:].reshape(WT, T, H, hd)
-    v = v_ref[:].reshape(WT, T, H, hd)
     scale = hd ** -0.5
-    logits = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 2), (0, 2))),
-        preferred_element_type=jnp.float32) * scale     # (WT, H, T, T)
+    mask_add = jnp.where(mask_ref[:] > 0, 0.0,
+                         MASK_VALUE)[:, None, :]             # (WT, 1, T)
     if use_rpe:
-        bias = _bias_from_xyz(xyz_ref[:], table_ref[:], pos_bnd, cdt)
-        bias = jnp.moveaxis(bias, 3, 1)                  # (WT, H, K, K)
-        if G > 0:
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (G, 0), (G, 0)))
-        logits = logits + bias
-    mask = mask_ref[:]                                   # (WT, T) int32
-    logits = logits + jnp.where(mask > 0, 0.0,
-                                MASK_VALUE)[:, None, None, :]
-    attn = jax.nn.softmax(logits, axis=-1).astype(cdt)   # (WT, H, T, T)
-    out = jax.lax.dot_general(
-        attn, v, (((3,), (1,)), ((0, 1), (0, 2))))       # (WT, H, T, hd)
-    o_ref[:] = jnp.moveaxis(out, 1, 2).reshape(WT, T, C).astype(cdt)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, K, cdt)
+    for h in range(H):
+        logits = _head_logits(q_ref, k_ref, h, hd, scale)
+        if use_rpe:
+            bh = _head_bias(us, vs, h, P)
+            if G > 0:
+                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
+            logits = logits + bh
+        attn = jax.nn.softmax(logits + mask_add, axis=-1).astype(cdt)
+        vh = v_ref[:, :, h * hd:(h + 1) * hd]
+        out = jax.lax.dot_general(
+            attn, vh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (WT, T, hd)
+        o_ref[:, :, h * hd:(h + 1) * hd] = out.astype(cdt)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, table_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, dtab_ref, *, num_heads: int,
-                rt_per_window: int, pos_bnd: int, use_rpe: bool):
+def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, db_ref, *, num_heads: int,
+                rt_per_window: int, coord_range: int, use_rpe: bool):
     WT, T, C = q_ref.shape
     H = num_heads
     hd = C // H
     G = rt_per_window
     K = T - G
+    P = coord_range
     cdt = q_ref.dtype
-    q = q_ref[:].reshape(WT, T, H, hd)
-    k = k_ref[:].reshape(WT, T, H, hd)
-    v = v_ref[:].reshape(WT, T, H, hd)
-    g = g_ref[:].reshape(WT, T, H, hd)
     scale = hd ** -0.5
-    logits = jax.lax.dot_general(
-        q, k, (((3,), (3,)), ((0, 2), (0, 2))),
-        preferred_element_type=jnp.float32) * scale
+    mask_add = jnp.where(mask_ref[:] > 0, 0.0, MASK_VALUE)[:, None, :]
     if use_rpe:
-        bias = _bias_from_xyz(xyz_ref[:], table_ref[:], pos_bnd, cdt)
-        bias = jnp.moveaxis(bias, 3, 1)
-        if G > 0:
-            bias = jnp.pad(bias, ((0, 0), (0, 0), (G, 0), (G, 0)))
-        logits = logits + bias
-    mask = mask_ref[:]
-    logits = logits + jnp.where(mask > 0, 0.0,
-                                MASK_VALUE)[:, None, None, :]
-    attn = jax.nn.softmax(logits, axis=-1)               # fp32 (WT,H,T,T)
-
-    # dv[s] = sum_t attn[t, s] * g[t]
-    attn_c = attn.astype(cdt)
-    dv = jax.lax.dot_general(
-        attn_c, g, (((2,), (1,)), ((0, 1), (0, 2))))     # (WT, H, T_s, hd)
-    dv_ref[:] = jnp.moveaxis(dv, 1, 2).reshape(WT, T, C).astype(cdt)
-
-    # dattn[t, s] = g[t] . v[s]
-    dattn = jax.lax.dot_general(
-        g, v, (((3,), (3,)), ((0, 2), (0, 2))))          # (WT, H, T, T)
-    dattn = dattn.astype(jnp.float32)
-    dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1,
-                                      keepdims=True))    # (WT, H, T, T)
-    dl_c = dlogits.astype(cdt)
-    # dq[t] = scale * sum_s dlogits[t, s] * k[s]
-    dq = jax.lax.dot_general(
-        dl_c, k, (((3,), (1,)), ((0, 1), (0, 2))))       # (WT, H, T, hd)
-    dq_ref[:] = (jnp.moveaxis(dq, 1, 2).reshape(WT, T, C)
-                 * jnp.asarray(scale, cdt)).astype(cdt)
-    # dk[s] = scale * sum_t dlogits[t, s] * q[t]
-    dk = jax.lax.dot_general(
-        dl_c, q, (((2,), (1,)), ((0, 1), (0, 2))))       # (WT, H, T_s, hd)
-    dk_ref[:] = (jnp.moveaxis(dk, 1, 2).reshape(WT, T, C)
-                 * jnp.asarray(scale, cdt)).astype(cdt)
-
-    if use_rpe:
-        # dbias = dlogits (bias enters additively); accumulate per-tile
-        # dtable = onehot^T @ dbias_rows.
-        oh = _onehot_rows(xyz_ref[:], pos_bnd, cdt)
-        dbias = dlogits[:, :, G:, G:]                    # (WT, H, K, K)
-        dbias = jnp.moveaxis(dbias, 1, 3).reshape(WT * K * K, H)
-        dtab = jnp.dot(oh.T, dbias.astype(cdt),
-                       preferred_element_type=jnp.float32)
-
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            dtab_ref[:] = jnp.zeros_like(dtab_ref)
-
-        dtab_ref[:] += dtab.astype(jnp.float32)
-    else:
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            dtab_ref[:] = jnp.zeros_like(dtab_ref)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, K, cdt)
+    for h in range(H):
+        logits = _head_logits(q_ref, k_ref, h, hd, scale)
+        if use_rpe:
+            bh = _head_bias(us, vs, h, P)
+            if G > 0:
+                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
+            logits = logits + bh
+        attn = jax.nn.softmax(logits + mask_add, axis=-1)    # fp32
+        gh = g_ref[:, :, h * hd:(h + 1) * hd]
+        vh = v_ref[:, :, h * hd:(h + 1) * hd]
+        attn_c = attn.astype(cdt)
+        # dv[s] = sum_t attn[t, s] * g[t]    (contract t, batch WT)
+        dv = jax.lax.dot_general(
+            attn_c, gh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (WT, T, hd)
+        dv_ref[:, :, h * hd:(h + 1) * hd] = dv.astype(cdt)
+        # dattn[t, s] = g[t] . v[s]          (contract hd)
+        dattn = jax.lax.dot_general(
+            gh, vh, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        dlog = attn * (dattn - jnp.sum(dattn * attn, axis=-1,
+                                       keepdims=True))       # (WT, T, T)
+        dl_c = dlog.astype(cdt)
+        qh = q_ref[:, :, h * hd:(h + 1) * hd]
+        kh = k_ref[:, :, h * hd:(h + 1) * hd]
+        dq = jax.lax.dot_general(
+            dl_c, kh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (WT, T, hd)
+        dq_ref[:, :, h * hd:(h + 1) * hd] = (dq * scale).astype(cdt)
+        # dk[s] = scale * sum_t dlogits[t, s] * q[t]  (contract t)
+        dk = jax.lax.dot_general(
+            dl_c, qh, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)              # (WT, T, hd)
+        dk_ref[:, :, h * hd:(h + 1) * hd] = (dk * scale).astype(cdt)
+        if use_rpe:
+            db_ref[h] = dl_c[:, G:, G:]                      # (WT, K, K)
 
 
-def _call_fwd(q, k, v, xyz, mask, table, num_heads, rt_per_window, pos_bnd,
-              use_rpe, window_tile, interpret):
+def _specs3(WT, T, C, K, delta_shape):
+    tile3 = pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return [
+        tile3, tile3, tile3,
+        pl.BlockSpec((WT, 3, K), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((WT, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(delta_shape, lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ], tile3
+
+
+def _call_fwd(q, k, v, xyz, mask, delta, num_heads, rt_per_window,
+              coord_range, use_rpe, window_tile, interpret):
     BW, T, C = q.shape
     WT = window_tile
     assert BW % WT == 0, (BW, WT)
-    grid = (BW // WT,)
-    kern = functools.partial(_fwd_kernel, num_heads=num_heads,
-                             rt_per_window=rt_per_window, pos_bnd=pos_bnd,
-                             use_rpe=use_rpe)
     K = T - rt_per_window
+    kern = functools.partial(_fwd_kernel, num_heads=num_heads,
+                             rt_per_window=rt_per_window,
+                             coord_range=coord_range, use_rpe=use_rpe)
+    in_specs, tile3 = _specs3(WT, T, C, K, delta.shape)
     return pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WT, 3, K), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((WT, T), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(table.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid=(BW // WT,),
+        in_specs=in_specs,
+        out_specs=tile3,
         out_shape=jax.ShapeDtypeStruct((BW, T, C), q.dtype),
         interpret=interpret,
-    )(q, k, v, xyz, mask, table)
+    )(q, k, v, xyz, mask, delta)
 
 
-def _call_bwd(q, k, v, xyz, mask, table, g, num_heads, rt_per_window,
-              pos_bnd, use_rpe, window_tile, interpret):
+def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, rt_per_window,
+              coord_range, use_rpe, window_tile, interpret):
     BW, T, C = q.shape
     WT = window_tile
-    grid = (BW // WT,)
+    H = num_heads
     K = T - rt_per_window
     kern = functools.partial(_bwd_kernel, num_heads=num_heads,
-                             rt_per_window=rt_per_window, pos_bnd=pos_bnd,
-                             use_rpe=use_rpe)
-    tile3 = pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dq, dk, dv, dtab = pl.pallas_call(
+                             rt_per_window=rt_per_window,
+                             coord_range=coord_range, use_rpe=use_rpe)
+    in_specs, tile3 = _specs3(WT, T, C, K, delta.shape)
+    dq, dk, dv, dbias = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[tile3, tile3, tile3,
-                  pl.BlockSpec((WT, 3, K), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((WT, T), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(table.shape, lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-                  tile3],
+        grid=(BW // WT,),
+        in_specs=in_specs + [tile3],
         out_specs=[tile3, tile3, tile3,
-                   pl.BlockSpec(table.shape, lambda i: (0, 0),
+                   pl.BlockSpec((H, WT, K, K), lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((BW, T, C), q.dtype),
                    jax.ShapeDtypeStruct((BW, T, C), q.dtype),
                    jax.ShapeDtypeStruct((BW, T, C), q.dtype),
-                   jax.ShapeDtypeStruct(table.shape, jnp.float32)],
+                   jax.ShapeDtypeStruct((H, BW, K, K), q.dtype)],
         interpret=interpret,
-    )(q, k, v, xyz, mask, table, g)
-    return dq, dk, dv, dtab
+    )(q, k, v, xyz, mask, delta, g)
+    return dq, dk, dv, dbias
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _dtab_from_dbias(dbias, xyz, pos_bnd: int, coord_range: int):
+    """Scatter-free RPE table gradient at the XLA level.
+
+    dbias: (H, BW, K, K) per-pair bias cotangent from the bwd kernel;
+    xyz: (BW, 3, K) int32 axis-plane coords. Same P-decomposition as
+    ops/rpe.py:_rpe_bwd — per-axis coordinate one-hots U contract dbias
+    down to (H, P, P), then the constant Toeplitz fold maps to table
+    rows. Three einsums per axis, no scatter. Returns (3*num, H) fp32.
+    """
+    P = int(coord_range)
+    num = 2 * pos_bnd + 1
+    p = jnp.arange(P, dtype=jnp.int32)
+    diff = jnp.clip(p[:, None] - p[None, :], -pos_bnd, pos_bnd) + pos_bnd
+    fold = jax.nn.one_hot(diff, num, dtype=jnp.float32)      # (P, P, num)
+    parts = []
+    for a in range(3):
+        u = jax.nn.one_hot(xyz[:, a, :], P, dtype=dbias.dtype)  # (BW,K,P)
+        c1 = jnp.einsum("hbts,bsq->hbtq", dbias, u,
+                        preferred_element_type=jnp.float32)
+        m = jnp.einsum("btp,hbtq->hpq", u.astype(jnp.float32), c1,
+                       preferred_element_type=jnp.float32)
+        parts.append(jnp.einsum("hpq,pqj->jh", m, fold,
+                                preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=0)                    # (3*num, H)
+
+
+def _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+              pos_bnd, use_rpe, window_tile, interpret, coord_range):
+    delta = (_delta_tables(table, pos_bnd, coord_range, q.dtype)
+             if use_rpe else jnp.zeros((3, 1, q.shape[-1]), q.dtype))
+    return _call_fwd(q, k, v, xyz, mask, delta, num_heads, rt_per_window,
+                     coord_range if use_rpe else 1, use_rpe, window_tile,
+                     interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_window_attention(q, k, v, xyz, mask, table, num_heads: int,
                            rt_per_window: int, pos_bnd: int, use_rpe: bool,
-                           window_tile: int = 4, interpret: bool = False):
+                           window_tile: int = 8, interpret: bool = False,
+                           coord_range: int = 128):
     """q/k/v: (BW, T, C); xyz: (BW, 3, K) int32 axis-plane coords;
     mask: (BW, T) int32; table: (3*(2*pos_bnd+1), H) fp32.
-    Returns (BW, T, C)."""
-    return _call_fwd(q, k, v, xyz, mask, table, num_heads, rt_per_window,
-                     pos_bnd, use_rpe, window_tile, interpret)
+    coord_range statically bounds the coords (2^depth). Returns
+    (BW, T, C)."""
+    return _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+                     pos_bnd, use_rpe, window_tile, interpret, coord_range)
 
 
 def _fwd_rule(q, k, v, xyz, mask, table, num_heads, rt_per_window, pos_bnd,
-              use_rpe, window_tile, interpret):
-    out = _call_fwd(q, k, v, xyz, mask, table, num_heads, rt_per_window,
-                    pos_bnd, use_rpe, window_tile, interpret)
+              use_rpe, window_tile, interpret, coord_range):
+    out = _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+                    pos_bnd, use_rpe, window_tile, interpret, coord_range)
     return out, (q, k, v, xyz, mask, table)
 
 
 def _bwd_rule(num_heads, rt_per_window, pos_bnd, use_rpe, window_tile,
-              interpret, res, g):
+              interpret, coord_range, res, g):
     q, k, v, xyz, mask, table = res
-    dq, dk, dv, dtab = _call_bwd(q, k, v, xyz, mask, table, g, num_heads,
-                                 rt_per_window, pos_bnd, use_rpe,
-                                 window_tile, interpret)
-    return (dq, dk, dv, None, None, dtab.astype(table.dtype))
+    delta = (_delta_tables(table, pos_bnd, coord_range, q.dtype)
+             if use_rpe else jnp.zeros((3, 1, q.shape[-1]), q.dtype))
+    dq, dk, dv, dbias = _call_bwd(q, k, v, xyz, mask, delta, g, num_heads,
+                                  rt_per_window,
+                                  coord_range if use_rpe else 1, use_rpe,
+                                  window_tile, interpret)
+    if use_rpe:
+        dtab = _dtab_from_dbias(dbias, xyz, pos_bnd, coord_range)
+        dtab = dtab.astype(table.dtype)
+    else:
+        dtab = jnp.zeros_like(table)
+    return (dq, dk, dv, None, None, dtab)
 
 
 fused_window_attention.defvjp(_fwd_rule, _bwd_rule)

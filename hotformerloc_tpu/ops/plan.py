@@ -26,6 +26,8 @@ class LevelCtx:
     node_valid: jnp.ndarray     # (B, N) bool
     xyz: jnp.ndarray            # (B, N, 3) int32 voxel coords
     neigh: jnp.ndarray          # (B, N, 27) stride-1 gather table
+    keys: jnp.ndarray = None    # (B, N) sorted Morton keys (dense dwconv)
+    counts: jnp.ndarray = None  # (B,) valid node counts
 
 
 @struct.dataclass
@@ -38,7 +40,8 @@ class OctreePlan:
     def level_ctx(self, d: int) -> LevelCtx:
         lev = self.octree.level(d)
         return LevelCtx(depth=d, node_valid=self.octree.node_valid(d),
-                        xyz=self.octree.xyz(d), neigh=self.neighs[lev])
+                        xyz=self.octree.xyz(d), neigh=self.neighs[lev],
+                        keys=self.octree.key(d), counts=self.octree.count(d))
 
     def children(self, d: int) -> jnp.ndarray:
         """Gather table pulling depth-d children into depth-(d-1) parents."""

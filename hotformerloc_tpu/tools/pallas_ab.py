@@ -61,7 +61,8 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
     # Parameters are identical on both paths; init once via XLA so a
     # Mosaic rejection in the Pallas path is caught per-case below.
     ref_mod = WindowAttention(C, H, K, dilation, G, True, 0.0, 0.0, True,
-                              use_pallas=False, dtype=jnp.bfloat16)
+                              use_pallas=False, coord_range=2 ** depth,
+                              dtype=jnp.bfloat16)
     params = ref_mod.init(jax.random.PRNGKey(0), x, key_mask, xyz)
 
     results = {}
@@ -72,6 +73,7 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
         key = f"{mode}_wt{wt}" if wt else mode
         mod = WindowAttention(C, H, K, dilation, G, True, 0.0, 0.0, True,
                               use_pallas=(mode == "pallas"),
+                              coord_range=2 ** depth,
                               dtype=jnp.bfloat16)
         attn_mod._FORCED_WINDOW_TILE = wt
 

@@ -262,3 +262,56 @@ class TestWindows:
         assert rel.shape == (1, 2, 4, 4, 3)
         np.testing.assert_array_equal(rel[0, 0, 1, 0],
                                       np.asarray(xyz)[0, 1] - np.asarray(xyz)[0, 0])
+
+
+class TestDenseDwconv:
+    """octree_dwconv_dense == octree_dwconv (the dense voxel-grid
+    formulation must be numerically exact, fwd and grads)."""
+
+    def _setup(self, depth=4, B=2, P=500, C=8):
+        rng, octree = _fixture(seed=7, B=B, P=P, depth=depth)
+        d = depth
+        N = octree.cap(d)
+        x = rng.normal(0, 1, (B, N, C)).astype(np.float32)
+        # zero features at padding nodes (as the model guarantees)
+        valid = np.asarray(octree.node_valid(d))
+        x = np.where(valid[..., None], x, 0.0)
+        w = rng.normal(0, 0.3, (27, C)).astype(np.float32)
+        neigh = neigh_table(octree, d, "333")
+        return octree, d, jnp.asarray(x), jnp.asarray(w), neigh
+
+    def test_forward_matches_gather(self):
+        octree, d, x, w, neigh = self._setup()
+        ref = np.asarray(oc.octree_dwconv(x, neigh, w))
+        got = np.asarray(oc.octree_dwconv_dense(
+            x, octree.key(d), octree.count(d), octree.xyz(d),
+            octree.node_valid(d), w, d))
+        valid = np.asarray(octree.node_valid(d))
+        np.testing.assert_allclose(got[valid], ref[valid],
+                                   rtol=1e-5, atol=1e-5)
+        # padding rows are zero by construction
+        assert np.abs(got[~valid]).max() == 0.0
+
+    def test_grads_match_gather(self):
+        octree, d, x, w, neigh = self._setup(depth=3, P=300)
+        valid = octree.node_valid(d)
+
+        def f_dense(x, w):
+            y = oc.octree_dwconv_dense(x, octree.key(d), octree.count(d),
+                                       octree.xyz(d), valid, w, d)
+            return jnp.sum(jnp.sin(y) * valid[..., None])
+
+        def f_gather(x, w):
+            y = oc.octree_dwconv(x, neigh, w)
+            return jnp.sum(jnp.sin(y) * valid[..., None])
+
+        gd = jax.grad(f_dense, argnums=(0, 1))(x, w)
+        gg = jax.grad(f_gather, argnums=(0, 1))(x, w)
+        # dx at padding rows: dense path zeroes them; gather path may
+        # route cotangents through padding taps — compare valid rows.
+        vmask = np.asarray(valid)
+        np.testing.assert_allclose(np.asarray(gd[0])[vmask],
+                                   np.asarray(gg[0])[vmask],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gd[1]), np.asarray(gg[1]),
+                                   rtol=1e-4, atol=1e-4)
