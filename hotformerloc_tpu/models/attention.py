@@ -56,9 +56,10 @@ def _pick_window_tile(bw: int, limit: int = 8) -> int:
     # whole array is one block.
     if _FORCED_WINDOW_TILE is not None and bw % _FORCED_WINDOW_TILE == 0:
         return _FORCED_WINDOW_TILE
-    for wt in (limit, 16, 8):
-        if wt >= 8 and bw % wt == 0:
-            return wt
+    # wt=16 crashes the remote Mosaic backend at the hosa shape
+    # (tools/probe_attn_kernel3.py); 8 is reliable and within 10% of 16.
+    if bw % 8 == 0:
+        return 8
     return bw
 
 

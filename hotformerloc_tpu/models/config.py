@@ -50,7 +50,10 @@ class ModelConfig:
     normalize_embeddings: bool = True
     input_features: str = "P"
     # execution
-    use_pallas_attn: bool = False   # fused Pallas window attention
+    # Fused Pallas window attention: ON by default per the on-chip A/B
+    # (docs/PALLAS_AB.json, v5e): hosa 5.5x fwd / 2.8x fwd+bwd, octf
+    # 8.8x / 4.4x vs the XLA einsum path. CPU runs use interpret mode.
+    use_pallas_attn: bool = True
     # Depths at or below this run the CPE depthwise conv on a dense
     # voxel grid (V = 8^d) instead of 27-tap row gathers — numerically
     # equal, gather-free (ops/conv.octree_dwconv_dense). V <= 32k is the

@@ -72,15 +72,18 @@ class HOTFormerLoc(nn.Module):
 
     @nn.compact
     def __call__(self, points, pmask, deterministic: bool = True,
-                 train: bool = False, normals=None):
+                 train: bool = False, normals=None, plan=None):
         c = self.cfg
-        if "N" in c.input_features and normals is None:
-            raise ValueError("input feature 'N' requires a (B, P, 3) "
-                             "normals argument")
-        octree = build_batched_octree(points, pmask, c.octree_depth,
-                                      c.min_depth, c.resolve_capacities(),
-                                      normals=normals)
-        plan = build_plan(octree)
+        if plan is None:
+            if "N" in c.input_features and normals is None:
+                raise ValueError("input feature 'N' requires a (B, P, 3) "
+                                 "normals argument")
+            octree = build_batched_octree(points, pmask, c.octree_depth,
+                                          c.min_depth,
+                                          c.resolve_capacities(),
+                                          normals=normals)
+            plan = build_plan(octree)
+        octree = plan.octree
         feat = input_features(octree, c.input_features).astype(self.dtype)
 
         local_dict, rt_dict, rt_comb, rt_mask = HOTFormerBase(

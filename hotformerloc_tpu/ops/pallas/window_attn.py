@@ -265,13 +265,35 @@ def _dtab_from_dbias(dbias, xyz, pos_bnd: int, coord_range: int):
     return jnp.concatenate(parts, axis=0)                    # (3*num, H)
 
 
+def _head_blocks(C: int, H: int) -> int:
+    """Channel-block count: kernels above 128 channels exceed the v5e
+    16 MB scoped-VMEM limit in the backward (measured: 17.42M at
+    C=256/H=16), so heads are processed in independent 128-channel
+    blocks — each block is the measured-fast C=128/H=8 configuration.
+    Heads never mix across channel blocks (head h owns channels
+    [h*hd, (h+1)*hd)), so the split is exact."""
+    nb = max(1, C // 128)
+    while H % nb != 0 or C % nb != 0:
+        nb -= 1
+    return nb
+
+
 def _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
               pos_bnd, use_rpe, window_tile, interpret, coord_range):
-    delta = (_delta_tables(table, pos_bnd, coord_range, q.dtype)
-             if use_rpe else jnp.zeros((3, 1, q.shape[-1]), q.dtype))
-    return _call_fwd(q, k, v, xyz, mask, delta, num_heads, rt_per_window,
-                     coord_range if use_rpe else 1, use_rpe, window_tile,
-                     interpret)
+    C = q.shape[-1]
+    nb = _head_blocks(C, num_heads)
+    hb, cb = num_heads // nb, C // nb
+    cr = coord_range if use_rpe else 1
+    outs = []
+    for i in range(nb):
+        sl = slice(i * cb, (i + 1) * cb)
+        tab_i = table[:, i * hb:(i + 1) * hb] if use_rpe else table
+        delta = (_delta_tables(tab_i, pos_bnd, coord_range, q.dtype)
+                 if use_rpe else jnp.zeros((3, 1, cb), q.dtype))
+        outs.append(_call_fwd(q[:, :, sl], k[:, :, sl], v[:, :, sl], xyz,
+                              mask, delta, hb, rt_per_window, cr, use_rpe,
+                              window_tile, interpret))
+    return outs[0] if nb == 1 else jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
@@ -297,15 +319,34 @@ def _fwd_rule(q, k, v, xyz, mask, table, num_heads, rt_per_window, pos_bnd,
 def _bwd_rule(num_heads, rt_per_window, pos_bnd, use_rpe, window_tile,
               interpret, coord_range, res, g):
     q, k, v, xyz, mask, table = res
-    delta = (_delta_tables(table, pos_bnd, coord_range, q.dtype)
-             if use_rpe else jnp.zeros((3, 1, q.shape[-1]), q.dtype))
-    dq, dk, dv, dbias = _call_bwd(q, k, v, xyz, mask, delta, g, num_heads,
-                                  rt_per_window,
-                                  coord_range if use_rpe else 1, use_rpe,
-                                  window_tile, interpret)
+    C = q.shape[-1]
+    nb = _head_blocks(C, num_heads)
+    hb, cb = num_heads // nb, C // nb
+    cr = coord_range if use_rpe else 1
+    dqs, dks, dvs, dtabs = [], [], [], []
+    for i in range(nb):
+        sl = slice(i * cb, (i + 1) * cb)
+        tab_i = table[:, i * hb:(i + 1) * hb] if use_rpe else table
+        delta = (_delta_tables(tab_i, pos_bnd, coord_range, q.dtype)
+                 if use_rpe else jnp.zeros((3, 1, cb), q.dtype))
+        dq, dk, dv, dbias = _call_bwd(
+            q[:, :, sl], k[:, :, sl], v[:, :, sl], xyz, mask, delta,
+            g[:, :, sl], hb, rt_per_window, cr, use_rpe, window_tile,
+            interpret)
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+        if use_rpe:
+            dtabs.append(_dtab_from_dbias(dbias, xyz, pos_bnd, coord_range))
+    if nb == 1:
+        dq, dk, dv = dqs[0], dks[0], dvs[0]
+    else:
+        dq = jnp.concatenate(dqs, axis=-1)
+        dk = jnp.concatenate(dks, axis=-1)
+        dv = jnp.concatenate(dvs, axis=-1)
     if use_rpe:
-        dtab = _dtab_from_dbias(dbias, xyz, pos_bnd, coord_range)
-        dtab = dtab.astype(table.dtype)
+        dtab = (dtabs[0] if nb == 1
+                else jnp.concatenate(dtabs, axis=1)).astype(table.dtype)
     else:
         dtab = jnp.zeros_like(table)
     return (dq, dk, dv, None, None, dtab)

@@ -41,7 +41,7 @@ def _time(fn, *args, iters: int = 30) -> float:
 
 def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
                dilation: int, depth: int = 7, iters: int = 30,
-               tiles=(2, 4, 8, 16), seed: int = 0):
+               tiles=(8,), seed: int = 0):
     from hotformerloc_tpu.models.attention import WindowAttention
 
     T = K + G
@@ -85,9 +85,22 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
         fb = jax.jit(jax.grad(loss, argnums=(0, 1)))
 
         try:
-            fwd_ms = _time(fwd, params, x, iters=iters)
-            bwd_ms = _time(fb, params, x, iters=iters)
-            out = np.asarray(fwd(params, x), np.float32)
+            # The tunnelled remote-compile service crashes transiently
+            # (HTTP 500, reproducibly compiles on retry) — retry those.
+            last = None
+            for _ in range(3):
+                try:
+                    fwd_ms = _time(fwd, params, x, iters=iters)
+                    bwd_ms = _time(fb, params, x, iters=iters)
+                    out = np.asarray(fwd(params, x), np.float32)
+                    last = None
+                    break
+                except Exception as e:
+                    last = e
+                    if "remote_compile" not in str(e):
+                        break
+            if last is not None:
+                raise last
         except Exception as e:                        # Mosaic rejection etc.
             results[key] = {"error": str(e)[:300]}
             attn_mod._FORCED_WINDOW_TILE = None

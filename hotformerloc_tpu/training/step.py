@@ -106,22 +106,46 @@ def init_train_state(model, tx, rng, example_batch,
                       model_state=model_state)
 
 
-def _apply(model, params, model_state, points, pmask, rngs, train: bool):
+def _apply(model, params, model_state, points, pmask, rngs, train: bool,
+           plan=None):
     """Returns (out_dict, new_model_state); out_dict has 'global' and
-    'octree_overflow' (models/hotformerloc.py)."""
+    'octree_overflow' (models/hotformerloc.py). ``plan``: optional
+    precomputed OctreePlan (hoisted octree build)."""
     variables = {"params": params, **model_state}
     if train:
         mutable = list(model_state.keys())
         if mutable:
             out, new_state = model.apply(variables, points, pmask,
                                          deterministic=False, train=True,
-                                         rngs=rngs, mutable=mutable)
+                                         rngs=rngs, mutable=mutable,
+                                         plan=plan)
             return out, new_state
         out = model.apply(variables, points, pmask, deterministic=False,
-                          train=True, rngs=rngs)
+                          train=True, rngs=rngs, plan=plan)
         return out, model_state
-    out = model.apply(variables, points, pmask)
+    out = model.apply(variables, points, pmask, plan=plan)
     return out, model_state
+
+
+def _precompute_plans(model, pts_s, msk_s):
+    """Octree + attention plan per microbatch, hoisted out of the
+    multistage passes: the plan is parameter-independent, so building
+    it once and reusing it in stage 1 AND stage 3 halves the octree /
+    neighbour-table work per step. Only when the model config needs no
+    per-point normals ('N' requires them at build time)."""
+    cfg = getattr(model, "cfg", None)
+    if cfg is None or "N" in cfg.input_features:
+        return None
+    from hotformerloc_tpu.models.hotformerloc import build_batched_octree
+    from hotformerloc_tpu.ops.plan import build_plan
+
+    def one(xs):
+        p, m = xs
+        octree = build_batched_octree(p, m, cfg.octree_depth, cfg.min_depth,
+                                      cfg.resolve_capacities())
+        return build_plan(octree)
+
+    return jax.lax.map(one, (pts_s, msk_s))
 
 
 def make_train_step(model, tx, loss_fn: Callable,
@@ -182,26 +206,28 @@ def make_train_step(model, tx, loss_fn: Callable,
 
         pts_s, msk_s = r(pts), r(msk)
         idx = jnp.arange(A)
+        plans = _precompute_plans(model, pts_s, msk_s)
 
-        def fwd(params, p, m, i):
+        def fwd(params, p, m, i, plan):
             out, new_state = _apply(model, params, state.model_state, p, m,
-                                    mb_rngs(rng, i), True)
+                                    mb_rngs(rng, i), True, plan=plan)
             return out["global"], (new_state, out["octree_overflow"])
 
         # Stage 1 — embeddings without parameter gradients.
         def s1(carry, xs):
-            p, m, i = xs
-            emb, (new_state, ovf) = fwd(state.params, p, m, i)
+            p, m, i, plan = xs
+            emb, (new_state, ovf) = fwd(state.params, p, m, i, plan)
             if cfg.mesa > 0.0 and state.ema_params is not None:
                 t_out, _ = _apply(model, state.ema_params,
-                                  state.model_state, p, m, None, False)
+                                  state.model_state, p, m, None, False,
+                                  plan=plan)
                 t_emb = t_out["global"]
             else:
                 t_emb = jnp.zeros_like(emb)
             return new_state, (emb, t_emb, ovf)
 
         new_state, (embs, t_embs, ovfs) = jax.lax.scan(
-            s1, state.model_state, (pts_s, msk_s, idx),
+            s1, state.model_state, (pts_s, msk_s, idx, plans),
             unroll=min(cfg.unroll, A))
         embs = embs.reshape(B, -1)
 
@@ -223,12 +249,14 @@ def make_train_step(model, tx, loss_fn: Callable,
         zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
         def s3(acc, xs):
-            p, m, i, g = xs
-            _, vjp = jax.vjp(lambda prm: fwd(prm, p, m, i)[0], state.params)
+            p, m, i, g, plan = xs
+            _, vjp = jax.vjp(lambda prm: fwd(prm, p, m, i, plan)[0],
+                             state.params)
             (gi,) = vjp(g)
             return jax.tree_util.tree_map(jnp.add, acc, gi), None
 
-        grads, _ = jax.lax.scan(s3, zero_grads, (pts_s, msk_s, idx, g_emb),
+        grads, _ = jax.lax.scan(s3, zero_grads,
+                                (pts_s, msk_s, idx, g_emb, plans),
                                 unroll=min(cfg.unroll, A))
         return _finish(state, grads, stats, new_state)
 
