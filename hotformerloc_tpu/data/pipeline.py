@@ -9,6 +9,7 @@ host pipeline that cannot starve the TPU.
 """
 from __future__ import annotations
 
+import functools
 import os
 import threading
 import queue as queue_mod
@@ -152,9 +153,39 @@ class TrainingDataset:
                 "positives_mask": pos, "negatives_mask": neg}
 
 
+# Process-pool worker state: the dataset is shipped once per worker via
+# the pool initializer (not per task — the tuple dict can hold 10^4+
+# entries).
+_POOL_DS: Optional["TrainingDataset"] = None
+_POOL_NP: int = 0
+
+
+def _pool_init(dataset: "TrainingDataset", num_points: int) -> None:
+    global _POOL_DS, _POOL_NP
+    _POOL_DS = dataset
+    _POOL_NP = num_points
+
+
+def _pool_make(labels, root, local_slice):
+    """Module-level worker entry (picklable) for the process pool."""
+    return _POOL_DS.make_batch(labels, _POOL_NP, root,
+                               local_slice=local_slice)
+
+
 class DataLoader:
-    """Epoch iterator with background prefetch (double-buffered thread),
-    so host batch assembly overlaps device compute.
+    """Epoch iterator with a parallel batch-assembly pool + ordered
+    prefetch, so host work overlaps device compute (the TPU analogue of
+    the reference's num_workers DataLoader processes,
+    /root/reference/datasets/dataset_utils.py:164-170).
+
+    ``num_workers`` > 1 assembles whole batches concurrently in a thread
+    pool. Determinism is unaffected: every random draw is already keyed
+    by (seed+epoch, batch_index, row) — see make_batch — so assembly
+    order cannot change content, and results are yielded strictly in
+    batch order. Threads (not processes) suffice because the hot work —
+    file reads, float64→32 conversion, rotations/jitter, clip, pack —
+    is numpy over whole clouds and releases the GIL; tools/loader_bench.py
+    measures the scaling on real-shape clouds.
 
     Multi-host: pass ``process_index`` / ``process_count``. Every host
     must construct the SAME seeded sampler (identical global batch
@@ -167,7 +198,8 @@ class DataLoader:
 
     def __init__(self, dataset: TrainingDataset, sampler: BatchSampler,
                  num_points: int, seed: int = 0, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_workers: int = 0, worker_mode: str = "process"):
         self.dataset = dataset
         self.sampler = sampler
         self.num_points = num_points
@@ -175,6 +207,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.num_workers = num_workers
+        self.worker_mode = worker_mode
         self.epoch = 0
 
     def _local_slice(self, batch_len: int) -> Optional[slice]:
@@ -183,27 +217,37 @@ class DataLoader:
         per = batch_len // self.process_count
         return slice(self.process_index * per, (self.process_index + 1) * per)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _epoch_batches(self):
         batches = self.sampler.generate_batches()
         if self.process_count > 1:
             group = self.process_count * BatchSampler.K
             batches = [b for b in batches if len(b) % group == 0]
+        return batches
+
+    def _make(self, epoch: int, bi: int, labels) -> dict:
         # Seed root is (seed+epoch, batch_index) — identical on every
-        # host, so augmentation draws do not depend on process_count
+        # host AND independent of worker scheduling, so augmentation
+        # draws depend on neither process_count nor num_workers
         # (reference: one set_transform draw per global batch,
         # /root/reference/datasets/augmentation.py:11-29).
+        return self.dataset.make_batch(
+            labels, self.num_points, (self.seed + epoch, bi),
+            local_slice=self._local_slice(len(labels)))
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._epoch_batches()
         epoch = self.epoch
         self.epoch += 1
+        if self.num_workers > 1:
+            yield from self._iter_pool(epoch, batches)
+            return
         q: queue_mod.Queue = queue_mod.Queue(maxsize=self.prefetch)
         stop = object()
 
         def worker():
             try:
                 for bi, labels in enumerate(batches):
-                    q.put(self.dataset.make_batch(
-                        labels, self.num_points,
-                        (self.seed + epoch, bi),
-                        local_slice=self._local_slice(len(labels))))
+                    q.put(self._make(epoch, bi, labels))
             finally:
                 q.put(stop)
 
@@ -215,5 +259,43 @@ class DataLoader:
                 break
             yield item
 
+    def _iter_pool(self, epoch: int, batches) -> Iterator[dict]:
+        """Pool path: keep num_workers+prefetch batches in flight,
+        yield strictly in order.
+
+        worker_mode 'process' forks workers (the reference's DataLoader
+        model — sidesteps the GIL-bound python share of augmentation);
+        'thread' keeps everything in-process (zero-copy results). Both
+        produce identical batches (seeding is order-independent)."""
+        if self.worker_mode == "process":
+            from concurrent.futures import ProcessPoolExecutor
+            import multiprocessing as mp
+            pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("fork"),
+                initializer=_pool_init,
+                initargs=(self.dataset, self.num_points))
+            submit = functools.partial(pool.submit, _pool_make)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(self.num_workers)
+            submit = functools.partial(pool.submit, self._make)
+        window = self.num_workers + max(self.prefetch, 1)
+        with pool:
+            pending = {}
+            nxt = 0
+            for bi, labels in enumerate(batches):
+                if self.worker_mode == "process":
+                    pending[bi] = submit(
+                        labels, (self.seed + epoch, bi),
+                        self._local_slice(len(labels)))
+                else:
+                    pending[bi] = submit(epoch, bi, labels)
+                while len(pending) >= window:
+                    yield pending.pop(nxt).result()
+                    nxt += 1
+            while pending:
+                yield pending.pop(nxt).result()
+                nxt += 1
+
     def __len__(self):
-        return len(self.sampler.generate_batches())
+        return len(self._epoch_batches())

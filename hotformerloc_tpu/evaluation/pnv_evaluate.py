@@ -33,7 +33,7 @@ def load_model_embed_fn(params, weights: str = None):
     state = init_train_state(model, tx, jax.random.PRNGKey(0), example)
     if weights:
         try:
-            state, _, _ = load_checkpoint(weights, state)
+            state, _, _, _ = load_checkpoint(weights, state)
         except (ValueError, KeyError):
             # params-only checkpoint (e.g. converted reference weights,
             # tools/convert_reference_weights.py)

@@ -60,6 +60,17 @@ def _pick_window_tile(bw: int, limit: int = 8) -> int:
     # (tools/probe_attn_kernel3.py); 8 is reliable and within 10% of 16.
     if bw % 8 == 0:
         return 8
+    # Fallback: the whole (B*W) axis as one block. Mosaic only accepts
+    # sublane blocks that are multiples of 8 OR the full dim, and a
+    # single huge block risks a VMEM-limit failure — so cap it. Every
+    # shipped config rounds window counts to multiples of 8
+    # (resolve_capacities: block_num = patch_size*dilation with
+    # patch_size >= 8), so this path is test-/toy-shape only.
+    if bw > 512:
+        raise ValueError(
+            f"use_pallas_attn needs the window count per microbatch "
+            f"(B*W = {bw}) to be a multiple of 8; a single-block "
+            f"fallback at this size would exceed VMEM")
     return bw
 
 

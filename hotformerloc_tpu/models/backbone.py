@@ -49,24 +49,28 @@ class PatchEmbed(nn.Module):
                      for i in range(-self.num_down, 1)]
             for i in range(self.num_down):
                 di = d - i
+                ctx_i = plan.level_ctx(di)
                 x = OctreeConvNormRelu(
                     chans[i], 27, self.conv_norm, self.dtype,
-                    name=f"conv{i}")(x, plan.level_ctx(di).neigh,
-                                     oc.node_valid(di), train)
+                    name=f"conv{i}")(x, ctx_i.neigh, oc.node_valid(di),
+                                     train, band=ctx_i.band)
                 x = OctreeDownConvNormRelu(
                     chans[i + 1], self.conv_norm, self.dtype,
                     name=f"down{i}")(x, plan.down_tables(di),
                                      oc.node_valid(di - 1), train)
             dp = d - self.num_down
+            ctx_p = plan.level_ctx(dp)
             x = OctreeConvNormRelu(self.dim, 27, self.conv_norm, self.dtype,
-                                   name="proj")(x, plan.level_ctx(dp).neigh,
-                                                oc.node_valid(dp), train)
+                                   name="proj")(x, ctx_p.neigh,
+                                                oc.node_valid(dp), train,
+                                                band=ctx_p.band)
         else:
+            ctx_d = plan.level_ctx(d)
             for i in range(self.num_down):
                 x = OctreeConvNormRelu(
                     self.dim, 27, self.conv_norm, self.dtype,
-                    name=f"conv{i}")(x, plan.level_ctx(d).neigh,
-                                     oc.node_valid(d), train)
+                    name=f"conv{i}")(x, ctx_d.neigh, oc.node_valid(d),
+                                     train, band=ctx_d.band)
         return x
 
 

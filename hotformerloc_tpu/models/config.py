@@ -59,6 +59,13 @@ class ModelConfig:
     # equal, gather-free (ops/conv.octree_dwconv_dense). V <= 32k is the
     # measured win region on v5e.
     dense_cpe_max_depth: int = 5
+    # Banded Pallas conv path for the remaining stride-1 27-tap convs
+    # (CPE + stem): per-tile one-hot MXU selection over a VMEM halo band
+    # replaces the ~70 GB/s flat HBM gather; exact via escape patching
+    # (ops/pallas/band_conv.py, A/B in docs/GATHER_AB.json).
+    use_band_conv: bool = True
+    band_tile: int = 64
+    band_halo: int = 256
     # octree / static shapes
     octree_depth: int = 9
     num_points: int = 4096
@@ -154,6 +161,21 @@ class ModelConfig:
     def use_projections(self) -> bool:
         pyr = self.channels[self.num_octf_levels:]
         return len(pyr) > 1 and not self.disable_rt
+
+    def band_depths(self) -> Tuple[int, ...]:
+        """Depths whose stride-1 convs use the banded Pallas path:
+        every gather depth above the dense-grid cutoff whose capacity
+        the band tile divides (ops/pallas/band_conv.band_viable)."""
+        if not self.use_band_conv:
+            return ()
+        caps = self.resolve_capacities()
+        out = []
+        for d in range(self.min_depth, self.octree_depth + 1):
+            n = caps[d - self.min_depth]
+            if (d > self.dense_cpe_max_depth and n % self.band_tile == 0
+                    and n >= 4 * self.band_tile):
+                out.append(d)
+        return tuple(out)
 
     def drop_path_rates(self) -> Tuple[float, ...]:
         """Per-block linearly increasing stochastic depth

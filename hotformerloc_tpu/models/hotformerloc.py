@@ -82,7 +82,8 @@ class HOTFormerLoc(nn.Module):
                                           c.min_depth,
                                           c.resolve_capacities(),
                                           normals=normals)
-            plan = build_plan(octree)
+            plan = build_plan(octree, c.band_depths(), c.band_tile,
+                              c.band_halo)
         octree = plan.octree
         feat = input_features(octree, c.input_features).astype(self.dtype)
 
@@ -130,8 +131,11 @@ class HOTFormerLoc(nn.Module):
         # Nodes silently dropped by capacity overflow (0 with the default
         # worst-case caps; the train step surfaces this in its stats so
         # occupancy-tuned capacities can never lose accuracy unnoticed).
+        # band_overflow counts hard-node-capacity misses of the banded
+        # conv path the same way (0 = banded == flat exactly).
         return {"global": x,
-                "octree_overflow": jnp.sum(octree.overflow)}
+                "octree_overflow": (jnp.sum(octree.overflow) +
+                                    plan.band_overflow())}
 
 
 def param_count(params) -> int:

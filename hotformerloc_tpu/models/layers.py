@@ -218,6 +218,32 @@ conv_kernel_init = nn.initializers.variance_scaling(1.0, "fan_in",
                                                     "truncated_normal")
 
 
+def _band_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _stride1_conv(x, neigh, w, b, band):
+    """Stride-1 full conv, banded Pallas path when the level carries
+    band tables and the shape is viable (ops/pallas/band_conv.py);
+    exact-equal flat-gather path otherwise."""
+    from hotformerloc_tpu.ops.pallas import band_conv as bc
+    N, C = x.shape[1], x.shape[-1]
+    if band is not None and bc.band_viable(N, C, band.tile):
+        loc = bc._band_loc(neigh, band.tile, band.halo)
+        return bc.banded_conv(x, loc, w, b, band, _band_interpret())
+    return oconv.octree_conv(x, neigh, w, b)
+
+
+def _stride1_dwconv(x, neigh, w, band):
+    """Depthwise analogue of _stride1_conv."""
+    from hotformerloc_tpu.ops.pallas import band_conv as bc
+    N, C = x.shape[1], x.shape[-1]
+    if band is not None and bc.band_viable(N, C, band.tile):
+        loc = bc._band_loc(neigh, band.tile, band.halo)
+        return bc.banded_dwconv(x, loc, w, band, _band_interpret())
+    return oconv.octree_dwconv(x, neigh, w)
+
+
 def _down_triple(down):
     """Accept either a bare children table or the full
     (children, parent, octant) triple from OctreePlan.down_tables —
@@ -236,12 +262,13 @@ class OctreeConvNormRelu(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, neigh, valid=None, train: bool = False):
+    def __call__(self, x, neigh, valid=None, train: bool = False,
+                 band=None):
         w = self.param("kernel", conv_kernel_init,
                        (self.taps, x.shape[-1], self.out_channels))
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-        y = oconv.octree_conv(x, neigh, w.astype(self.dtype),
-                              b.astype(self.dtype))
+        y = _stride1_conv(x, neigh, w.astype(self.dtype),
+                          b.astype(self.dtype), band)
         y = Norm(self.out_channels, self.conv_norm, self.dtype)(
             y, valid, train)
         return nn.relu(y)
@@ -332,12 +359,13 @@ class CPE(nn.Module):
     @nn.compact
     def __call__(self, x, neigh, valid=None, train: bool = False,
                  ctx=None):
+        band = getattr(ctx, "band", None) if ctx is not None else None
         if self.xcpe:
             w = self.param("kernel", conv_kernel_init,
                            (27, self.dim, self.dim))
             b = self.param("bias", nn.initializers.zeros, (self.dim,))
-            y = oconv.octree_conv(x, neigh, w.astype(self.dtype),
-                                  b.astype(self.dtype))
+            y = _stride1_conv(x, neigh, w.astype(self.dtype),
+                              b.astype(self.dtype), band)
             y = dense(self.dim, self.dtype, name="linear")(y)
         else:
             w = self.param("dw_kernel", conv_kernel_init, (27, self.dim, 1))
@@ -347,7 +375,7 @@ class CPE(nn.Module):
                     x, ctx.keys, ctx.counts, ctx.xyz, ctx.node_valid, wd,
                     ctx.depth)
             else:
-                y = oconv.octree_dwconv(x, neigh, wd)
+                y = _stride1_dwconv(x, neigh, wd, band)
         return Norm(self.dim, self.conv_norm, self.dtype)(y, valid, train)
 
 

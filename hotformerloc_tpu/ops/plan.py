@@ -28,6 +28,7 @@ class LevelCtx:
     neigh: jnp.ndarray          # (B, N, 27) stride-1 gather table
     keys: jnp.ndarray = None    # (B, N) sorted Morton keys (dense dwconv)
     counts: jnp.ndarray = None  # (B,) valid node counts
+    band: object = None         # Optional[band_conv.BandTables]
 
 
 @struct.dataclass
@@ -36,12 +37,26 @@ class OctreePlan:
     octree: BatchedOctree
     neighs: Tuple[jnp.ndarray, ...]               # per level, (B, N_d, 27)
     childrens: Tuple[Optional[jnp.ndarray], ...]  # per level d, (B, N_{d-1}, 8)
+    # Per-level escape bookkeeping for the banded Pallas conv path
+    # (ops/pallas/band_conv.py); None where banding is off/unviable.
+    bands: Tuple[object, ...] = ()
 
     def level_ctx(self, d: int) -> LevelCtx:
         lev = self.octree.level(d)
+        band = self.bands[lev] if self.bands else None
         return LevelCtx(depth=d, node_valid=self.octree.node_valid(d),
                         xyz=self.octree.xyz(d), neigh=self.neighs[lev],
-                        keys=self.octree.key(d), counts=self.octree.count(d))
+                        keys=self.octree.key(d), counts=self.octree.count(d),
+                        band=band)
+
+    def band_overflow(self) -> jnp.ndarray:
+        """Total hard-node capacity overflow across banded levels (0 =
+        banded results exactly match the flat gather path)."""
+        tot = jnp.zeros((), jnp.int32)
+        for bt in self.bands:
+            if bt is not None:
+                tot = tot + jnp.sum(bt.overflow)
+        return tot
 
     def children(self, d: int) -> jnp.ndarray:
         """Gather table pulling depth-d children into depth-(d-1) parents."""
@@ -62,16 +77,29 @@ class OctreePlan:
         return self.children(d), self.octree.parent(d), octant
 
 
-def build_plan(octree: BatchedOctree) -> OctreePlan:
+def build_plan(octree: BatchedOctree, band_depths: Tuple[int, ...] = (),
+               band_tile: int = 64, band_halo: int = 256) -> OctreePlan:
     """Compute neighbour + child tables for every materialised depth.
 
     Child tables come first (one flat scatter each), then ALL neighbour
     tables are derived top-down by the parent recurrence
     (octree/neigh.all_neigh_tables) — ~13x cheaper on TPU than the
     per-level binary search and differential-tested equal to it.
+
+    band_depths: depths whose stride-1 convs will run the banded Pallas
+    path (ModelConfig.band_depths()); their escape tables are compacted
+    here, once per plan, and reused by every conv at that level.
     """
     childrens = tuple(
         child_table(octree, d) if d > octree.min_depth else None
         for d in range(octree.min_depth, octree.depth + 1))
     neighs = all_neigh_tables(octree, childrens)
-    return OctreePlan(octree=octree, neighs=neighs, childrens=childrens)
+    bands = ()
+    if band_depths:
+        from hotformerloc_tpu.ops.pallas.band_conv import build_band_tables
+        bands = tuple(
+            build_band_tables(neighs[octree.level(d)], band_tile, band_halo)
+            if d in band_depths else None
+            for d in range(octree.min_depth, octree.depth + 1))
+    return OctreePlan(octree=octree, neighs=neighs, childrens=childrens,
+                      bands=bands)

@@ -132,7 +132,15 @@ def _precompute_plans(model, pts_s, msk_s):
     multistage passes: the plan is parameter-independent, so building
     it once and reusing it in stage 1 AND stage 3 halves the octree /
     neighbour-table work per step. Only when the model config needs no
-    per-point normals ('N' requires them at build time)."""
+    per-point normals ('N' requires them at build time).
+
+    Memory trade-off: ALL accum_steps microbatch plans (octree arrays +
+    per-level 27-wide neighbour tables) stay live in HBM across both
+    scan stages — ~tens of MB per microbatch at the flagship config.
+    The documented fit boundary (mb=8 fits / mb=16 OOMs on a 16G v5e,
+    CLAUDE.md) was measured WITH this hoisting at accum_steps=4; if the
+    microbatch count is raised, re-verify the boundary or rebuild plans
+    transiently per microbatch instead."""
     cfg = getattr(model, "cfg", None)
     if cfg is None or "N" in cfg.input_features:
         return None
@@ -143,7 +151,8 @@ def _precompute_plans(model, pts_s, msk_s):
         p, m = xs
         octree = build_batched_octree(p, m, cfg.octree_depth, cfg.min_depth,
                                       cfg.resolve_capacities())
-        return build_plan(octree)
+        return build_plan(octree, cfg.band_depths(), cfg.band_tile,
+                          cfg.band_halo)
 
     return jax.lax.map(one, (pts_s, msk_s))
 

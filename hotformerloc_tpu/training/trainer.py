@@ -40,7 +40,15 @@ from hotformerloc_tpu.training.step import (StepConfig, TrainState,
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int,
-                    best_metric: float = 0.0):
+                    best_metric: float = 0.0,
+                    extra_meta: Optional[Dict] = None):
+    """Full-state orbax checkpoint + JSON side meta.
+
+    extra_meta carries the non-array training context the reference
+    stores in its ckpt dict (trainer.py:130-144): wandb run id (so a
+    resumed run continues the same wandb history, trainer.py:383-391)
+    and the dynamic-batch-expansion sampler state (trainer.py:74-90).
+    """
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
@@ -50,6 +58,8 @@ def save_checkpoint(path: str, state: TrainState, epoch: int,
                                                   np.float64)}},
                force=True)
     ckptr.wait_until_finished()
+    with open(path + ".meta.json", "w") as f:
+        json.dump(extra_meta or {}, f)
 
 
 def load_checkpoint(path: str, template_state: TrainState):
@@ -60,8 +70,12 @@ def load_checkpoint(path: str, template_state: TrainState):
               "meta": {"epoch": np.asarray(0, np.int64),
               "best": np.asarray(0.0, np.float64)}}
     restored = ckptr.restore(path, target)
+    extra = {}
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            extra = json.load(f)
     return restored["state"], int(restored["meta"]["epoch"]), \
-        float(restored["meta"]["best"])
+        float(restored["meta"]["best"]), extra
 
 
 class MetricLogger:
@@ -74,6 +88,18 @@ class MetricLogger:
                 self.wandb = wandb
             except ImportError:
                 print("[WARN] wandb unavailable; logging to JSONL only")
+
+    def ensure_run(self, config: Dict, run_id: Optional[str] = None,
+                   name: Optional[str] = None) -> Optional[str]:
+        """Start (or resume, given a stored id) the wandb run — the
+        reference's resumable-logging behaviour
+        (training/trainer.py:383-391). Returns the active run id."""
+        if self.wandb is None:
+            return None
+        if self.wandb.run is None:
+            self.wandb.init(project="hotformerloc_tpu", name=name,
+                            id=run_id, resume="allow", config=config)
+        return getattr(self.wandb.run, "id", None)
 
     def log(self, record: Dict):
         record = {k: (float(v) if isinstance(v, (np.floating, jnp.ndarray))
@@ -90,10 +116,20 @@ class Trainer:
 
     def __init__(self, params: TrainParams, weights_dir: str = "weights",
                  model_name: Optional[str] = None,
-                 dtype=jnp.bfloat16, accum_steps: Optional[int] = None):
+                 dtype=None, accum_steps: Optional[int] = None):
         self.params = params
         cfg = params.model_params.config
         self.cfg = cfg
+        if dtype is None:
+            # bf16 compute on TPU; f32 on the CPU debug surface — the
+            # XLA:CPU thunk runtime cannot execute the bf16-operand /
+            # f32-accumulate weight-grad dots our custom VJPs emit
+            # ("Unsupported element type for DotThunk: BF16 x BF16 =
+            # F32", reproduced at several stem/CPE shapes), and CPU
+            # runs are debug-scale anyway.
+            import jax
+            dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                     else jnp.float32)
         self.model = HOTFormerLoc(cfg, dtype=dtype)
         self.mesh = make_mesh()
         self.model_name = model_name or \
@@ -130,7 +166,8 @@ class Trainer:
         self.train_loader = DataLoader(self.train_ds, self.train_sampler,
                                        cfg.num_points,
                                        process_index=self.process_index,
-                                       process_count=self.process_count)
+                                       process_count=self.process_count,
+                                       num_workers=params.num_workers)
         self.val_loader = None
         if params.validation and params.val_file:
             from hotformerloc_tpu.data.augmentation import make_val_transform
@@ -146,7 +183,8 @@ class Trainer:
                                        max_batches=2 if params.debug
                                        else None)
             self.val_loader = DataLoader(val_ds, val_sampler,
-                                         cfg.num_points)
+                                         cfg.num_points,
+                                         num_workers=params.num_workers)
 
         # steps
         steps_per_epoch = max(len(self.train_ds)
@@ -208,13 +246,25 @@ class Trainer:
         return os.path.join(self.weights_dir,
                             f"{self.model_name}_{tag}.ckpt")
 
+    def _extra_meta(self) -> Dict:
+        return {"wandb_run_id": getattr(self, "wandb_run_id", None),
+                "sampler_batch_size": int(self.train_sampler.batch_size)}
+
     def resume(self, path: str):
         if self.state is None:
             self.init_state()
-        self.state, epoch, best = load_checkpoint(path, self.state)
+        self.state, epoch, best, extra = load_checkpoint(path, self.state)
         self.start_epoch = epoch + 1
         self.best_metric = best
-        print(f"Resumed from {path} at epoch {epoch}")
+        # Restore non-array context (reference trainer.py:74-90):
+        # dynamic-batch-expansion state and the wandb run id for
+        # logging continuity (:130-144,383-391).
+        bs = int(extra.get("sampler_batch_size", 0))
+        if bs > 0:
+            self.train_sampler.batch_size = bs
+        self.wandb_run_id = extra.get("wandb_run_id") or None
+        print(f"Resumed from {path} at epoch {epoch}"
+              + (f" (batch_size={bs})" if bs else ""))
 
     def embed_fn(self, points, pmask):
         return self._embed(self.state, points, pmask)
@@ -224,6 +274,11 @@ class Trainer:
         p = self.params
         if self.state is None:
             self.init_state(seed)
+        self.wandb_run_id = self.logger.ensure_run(
+            {k: v for k, v in vars(p).items()
+             if isinstance(v, (int, float, str, bool, type(None)))},
+            run_id=getattr(self, "wandb_run_id", None),
+            name=self.model_name) or getattr(self, "wandb_run_id", None)
         rng = jax.random.PRNGKey(seed)
         mesa_start = int(p.epochs * p.mesa_start_ratio)
         for epoch in range(self.start_epoch, p.epochs + 1):
@@ -264,10 +319,11 @@ class Trainer:
 
             if not p.debug:
                 save_checkpoint(self.ckpt_path("latest"), self.state, epoch,
-                                self.best_metric)
+                                self.best_metric, self._extra_meta())
                 if p.save_freq and epoch % p.save_freq == 0:
                     save_checkpoint(self.ckpt_path(f"e{epoch}"), self.state,
-                                    epoch, self.best_metric)
+                                    epoch, self.best_metric,
+                                    self._extra_meta())
 
             if p.eval_freq and epoch % p.eval_freq == 0:
                 try:
@@ -279,7 +335,8 @@ class Trainer:
                     if ar1 > self.best_metric and not p.debug:
                         self.best_metric = ar1
                         save_checkpoint(self.ckpt_path("best"), self.state,
-                                        epoch, self.best_metric)
+                                        epoch, self.best_metric,
+                                        self._extra_meta())
                 except FileNotFoundError as e:
                     print(f"[WARN] eval skipped: {e}")
 
@@ -301,5 +358,6 @@ class Trainer:
 
         if not p.debug:
             save_checkpoint(self.ckpt_path("final"), self.state,
-                            p.epochs, self.best_metric)
+                            p.epochs, self.best_metric,
+                            self._extra_meta())
         return self.state

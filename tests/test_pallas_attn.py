@@ -99,7 +99,10 @@ class TestModelIntegration:
         import dataclasses
         from hotformerloc_tpu.models.config import tiny_test_config
         from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc
-        cfg_x = tiny_test_config()
+        # Force the baseline onto the XLA einsum path: the config default
+        # is use_pallas_attn=True, so tiny_test_config() alone would
+        # compare the Pallas path against itself (round-3 ADVICE).
+        cfg_x = tiny_test_config(use_pallas_attn=False)
         cfg_p = dataclasses.replace(cfg_x, use_pallas_attn=True)
         m_x, m_p = HOTFormerLoc(cfg_x), HOTFormerLoc(cfg_p)
         rng = np.random.default_rng(5)

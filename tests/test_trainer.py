@@ -130,7 +130,7 @@ class TestTrainerLoop:
         # checkpoint roundtrip
         ck = str(tmp_path / "ck")
         save_checkpoint(ck, state, epoch=1, best_metric=0.5)
-        restored, epoch, best = load_checkpoint(ck, state)
+        restored, epoch, best, extra = load_checkpoint(ck, state)
         assert epoch == 1 and best == 0.5
         a = jax.tree_util.tree_leaves(state.params)[0]
         b = jax.tree_util.tree_leaves(restored.params)[0]
@@ -139,3 +139,25 @@ class TestTrainerLoop:
         logs = os.path.join(str(tmp_path / "w"), "Oxford",
                             "t_log.jsonl")
         assert os.path.exists(logs)
+
+
+def test_checkpoint_extra_meta_roundtrip(tmp_path):
+    """wandb run-id + sampler batch-size persistence (reference
+    trainer.py:74-90,130-144)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from hotformerloc_tpu.training.step import TrainState
+    from hotformerloc_tpu.training.trainer import (load_checkpoint,
+                                                   save_checkpoint)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params={"w": jnp.ones((2,))},
+                       model_state={}, opt_state=(),
+                       ema_params=None)
+    ck = str(tmp_path / "ck_meta")
+    save_checkpoint(ck, state, epoch=3, best_metric=0.7,
+                    extra_meta={"wandb_run_id": "run123",
+                                "sampler_batch_size": 48})
+    _, epoch, best, extra = load_checkpoint(ck, state)
+    assert epoch == 3 and abs(best - 0.7) < 1e-9
+    assert extra["wandb_run_id"] == "run123"
+    assert extra["sampler_batch_size"] == 48
