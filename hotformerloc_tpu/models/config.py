@@ -56,16 +56,23 @@ class ModelConfig:
     use_pallas_attn: bool = True
     # Depths at or below this run the CPE depthwise conv on a dense
     # voxel grid (V = 8^d) instead of 27-tap row gathers — numerically
-    # equal, gather-free (ops/conv.octree_dwconv_dense). V <= 32k is the
-    # measured win region on v5e.
-    dense_cpe_max_depth: int = 5
+    # equal, gather-free (ops/conv.octree_dwconv_dense). Measured win
+    # region on v5e is V <= 4k (depth 4: 4.6 ms fwd); at depth 5 the
+    # 32^3 grid costs 30.8 ms/call standalone vs 4.8 ms for the banded
+    # kernel (docs/COMPONENT_PROFILE.json r4), so depth 5 now rides the
+    # band path.
+    dense_cpe_max_depth: int = 4
     # Banded Pallas conv path for the remaining stride-1 27-tap convs
     # (CPE + stem): per-tile one-hot MXU selection over a VMEM halo band
     # replaces the ~70 GB/s flat HBM gather; exact via escape patching
     # (ops/pallas/band_conv.py, A/B in docs/GATHER_AB.json).
+    # S64/HR128 is the measured-fastest variant (4.19/6.49 ms fwd/bwd
+    # at C=256 vs 4.80/8.40 for HR256, docs/COMPONENT_PROFILE.json);
+    # hard-node fraction 2.8% on real Oxford tables vs the 12.5%
+    # capacity (overflow counted in stats either way).
     use_band_conv: bool = True
     band_tile: int = 64
-    band_halo: int = 256
+    band_halo: int = 128
     # octree / static shapes
     octree_depth: int = 9
     num_points: int = 4096

@@ -142,11 +142,14 @@ def build_band_tables(neigh: jnp.ndarray, S: int = DEFAULT_TILE,
 # -- kernels ---------------------------------------------------------------
 
 
-def _onehot_taps(loc, S, K, W, cdt):
-    """(S, K) tap positions -> (S, K, W) one-hot selector (W sentinel
-    rows are all-zero)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, K, W), 2)
-    return (col == loc[:, :, None]).astype(cdt)
+def _tap_onehot(loc, k, S, W, cdt):
+    """Tap k's (S, W) one-hot selector from the (S, K) tile-local
+    position table. Built as a static lane slice + broadcast compare —
+    the 3-D (S, K, W) form needs a leading-dims merge reshape that this
+    toolchain's Mosaic rejects ('infer-vector-layout: unsupported shape
+    cast', chip-probed)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    return (col == loc[:, k:k + 1]).astype(cdt)
 
 
 def _dw_fwd_kernel(xp_ref, loc_ref, w_ref, o_ref, *, S, HR, K):
@@ -155,13 +158,14 @@ def _dw_fwd_kernel(xp_ref, loc_ref, w_ref, o_ref, *, S, HR, K):
     t = pl.program_id(1)
     start = pl.multiple_of(t * S, S)
     ht = xp_ref[0, pl.ds(start, W), :]               # (W, C)
-    oh = _onehot_taps(loc_ref[0], S, K, W, ht.dtype)
-    g = jax.lax.dot_general(oh, ht, (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (S,K,C)
+    loc = loc_ref[0]                                 # (S, K)
     C = ht.shape[-1]
     acc = jnp.zeros((S, C), jnp.float32)
     for k in range(K):
-        acc = acc + g[:, k, :] * w_ref[k, :].astype(jnp.float32)[None, :]
+        oh = _tap_onehot(loc, k, S, W, ht.dtype)
+        g = jax.lax.dot_general(oh, ht, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        acc = acc + g * w_ref[k, :].astype(jnp.float32)[None, :]
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
@@ -175,17 +179,18 @@ def _dw_bwd_kernel(xp_ref, dyp_ref, loc_ref, wf_ref, dx_ref, dw_ref,
     ht_dy = dyp_ref[0, pl.ds(start, W), :]           # (W, C)
     ht_x = xp_ref[0, pl.ds(start, W), :]
     dy_tile = dyp_ref[0, pl.ds(start + HR, S), :].astype(jnp.float32)
-    oh = _onehot_taps(loc_ref[0], S, K, W, ht_x.dtype)
-    g_dy = jax.lax.dot_general(oh, ht_dy, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    g_x = jax.lax.dot_general(oh, ht_x, (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    loc = loc_ref[0]
     C = ht_x.shape[-1]
     acc = jnp.zeros((S, C), jnp.float32)
     rows = []
     for k in range(K):
-        acc = acc + g_dy[:, k, :] * wf_ref[k, :].astype(jnp.float32)[None]
-        rows.append(jnp.sum(g_x[:, k, :] * dy_tile, axis=0))  # (C,)
+        oh = _tap_onehot(loc, k, S, W, ht_x.dtype)
+        g_dy = jax.lax.dot_general(oh, ht_dy, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        g_x = jax.lax.dot_general(oh, ht_x, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        acc = acc + g_dy * wf_ref[k, :].astype(jnp.float32)[None]
+        rows.append(jnp.sum(g_x * dy_tile, axis=0))  # (C,)
     dx_ref[0] = acc.astype(dx_ref.dtype)
     dwk = jnp.pad(jnp.stack(rows, axis=0), ((0, KP - K), (0, 0)))
 
@@ -202,15 +207,16 @@ def _conv_fwd_kernel(xp_ref, loc_ref, w_ref, o_ref, *, S, HR, K):
     t = pl.program_id(1)
     start = pl.multiple_of(t * S, S)
     ht = xp_ref[0, pl.ds(start, W), :]
-    oh = _onehot_taps(loc_ref[0], S, K, W, ht.dtype)
-    g = jax.lax.dot_general(oh, ht, (((2,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
+    loc = loc_ref[0]
     O = w_ref.shape[-1]
     acc = jnp.zeros((S, O), jnp.float32)
     cdt = ht.dtype
     for k in range(K):
+        oh = _tap_onehot(loc, k, S, W, cdt)
+        g = jax.lax.dot_general(oh, ht, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(
-            g[:, k, :].astype(cdt), w_ref[k], (((1,), (0,)), ((), ())),
+            g.astype(cdt), w_ref[k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
@@ -228,21 +234,22 @@ def _conv_bwd_kernel(xp_ref, dyp_ref, loc_ref, wf_ref, dx_ref, dw_ref,
     ht_dy = dyp_ref[0, pl.ds(start, W), :]           # (W, O)
     ht_x = xp_ref[0, pl.ds(start, W), :]             # (W, C)
     dy_tile = dyp_ref[0, pl.ds(start + HR, S), :]    # (S, O)
-    oh = _onehot_taps(loc_ref[0], S, K, W, ht_x.dtype)
-    g_dy = jax.lax.dot_general(oh, ht_dy, (((2,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
-    g_x = jax.lax.dot_general(oh, ht_x, (((2,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+    loc = loc_ref[0]
     C = ht_x.shape[-1]
     cdt = ht_x.dtype
     acc = jnp.zeros((S, C), jnp.float32)
     dws = []
     for k in range(K):
+        oh = _tap_onehot(loc, k, S, W, cdt)
+        g_dy = jax.lax.dot_general(oh, ht_dy, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        g_x = jax.lax.dot_general(oh, ht_x, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
         acc = acc + jax.lax.dot_general(
-            g_dy[:, k, :].astype(cdt), wf_ref[k],
+            g_dy.astype(cdt), wf_ref[k],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         dws.append(jax.lax.dot_general(
-            g_x[:, k, :].astype(cdt), dy_tile, (((0,), (0,)), ((), ())),
+            g_x.astype(cdt), dy_tile, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32))     # (C, O)
     dx_ref[0] = acc.astype(dx_ref.dtype)
     dwk = jnp.pad(jnp.stack(dws, axis=0), ((0, KP - K), (0, 0), (0, 0)))
@@ -391,7 +398,14 @@ def _place(rows, hard_pos):
 # -- exact ops with custom VJPs --------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+# NOTE: bt (BandTables) is a DIFFERENTIABLE argument with a None
+# cotangent — it is an array pytree, and array-valued arguments must
+# not go through nondiff_argnums (they arrive as tracers under jit;
+# jax raises UnexpectedTracerError). Its static geometry (tile/halo)
+# travels as pytree-static fields, so kernels still specialise on it.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def banded_dwconv(x, loc, w, bt: BandTables, interpret: bool = False):
     """Exact depthwise octree conv via the banded kernel + escape patch.
 
@@ -407,12 +421,12 @@ def banded_dwconv(x, loc, w, bt: BandTables, interpret: bool = False):
 
 
 def _banded_dwconv_fwd(x, loc, w, bt, interpret):
-    return banded_dwconv(x, loc, w, bt, interpret), (x, loc, w)
+    return banded_dwconv(x, loc, w, bt, interpret), (x, loc, w, bt)
 
 
-def _banded_dwconv_bwd(bt, interpret, res, dy):
+def _banded_dwconv_bwd(interpret, res, dy):
     from hotformerloc_tpu.ops.conv import _gather_rows
-    x, loc, w = res
+    x, loc, w, bt = res
     S, HR = bt.tile, bt.halo
     dx_band, dw_band = _band_dw_bwd_call(x, dy, loc, w, S, HR, interpret)
     # dx escape part: the flip identity dx = dwconv(dy, neigh, w[::-1])
@@ -426,13 +440,13 @@ def _banded_dwconv_bwd(bt, interpret, res, dy):
     dw_esc = jnp.einsum("bekc,bec->kc", gx, gdy,
                         preferred_element_type=jnp.float32)
     dw = (dw_band + dw_esc).astype(w.dtype)
-    return dx, None, dw
+    return dx, None, dw, None
 
 
 banded_dwconv.defvjp(_banded_dwconv_fwd, _banded_dwconv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def banded_conv(x, loc, w, b, bt: BandTables, interpret: bool = False):
     """Exact stride-1 full octree conv (banded). w: (K, C, O); b: (O,)."""
     S, HR = bt.tile, bt.halo
@@ -442,12 +456,12 @@ def banded_conv(x, loc, w, b, bt: BandTables, interpret: bool = False):
 
 
 def _banded_conv_fwd(x, loc, w, b, bt, interpret):
-    return banded_conv(x, loc, w, b, bt, interpret), (x, loc, w)
+    return banded_conv(x, loc, w, b, bt, interpret), (x, loc, w, bt)
 
 
-def _banded_conv_bwd(bt, interpret, res, dy):
+def _banded_conv_bwd(interpret, res, dy):
     from hotformerloc_tpu.ops.conv import _gather_rows
-    x, loc, w = res
+    x, loc, w, bt = res
     S, HR = bt.tile, bt.halo
     dx_band, dw_band = _band_conv_bwd_call(x, dy, loc, w, S, HR, interpret)
     wft = jnp.swapaxes(w[::-1], 1, 2)                # (K, O, C)
@@ -460,7 +474,7 @@ def _banded_conv_bwd(bt, interpret, res, dy):
                         preferred_element_type=jnp.float32)
     dw = (dw_band + dw_esc).astype(w.dtype)
     db = jnp.sum(dy, axis=(0, 1)).astype(w.dtype)
-    return dx, None, dw, db
+    return dx, None, dw, db, None
 
 
 banded_conv.defvjp(_banded_conv_fwd, _banded_conv_bwd)

@@ -130,7 +130,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, o_ref,
 
 def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, db_ref, *, num_heads: int,
-                rt_per_window: int, coord_range: int, use_rpe: bool):
+                rt_per_window: int, coord_range: int, use_rpe: bool,
+                fuse_dtab: bool):
+    """Backward tile. With ``fuse_dtab`` the RPE table gradient is
+    reduced IN-KERNEL to the per-axis pair matrix db_ref (3, P, H*P)
+    f32, grid-accumulated — instead of spilling the full per-pair
+    cotangent dbias (H, BW, K, K) to HBM and reducing it in XLA
+    (VERDICT r3 #3: that spill was ~52-104 MB per layer per microbatch
+    and a large share of step bytes). The reference's CUDA weight-grad
+    kernel does its reduction on-device in shared memory the same way
+    (/root/reference/libs/dwconv/csrc/dwconv.cu:44-72).
+    """
     WT, T, C = q_ref.shape
     H = num_heads
     hd = C // H
@@ -142,6 +152,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
     mask_add = jnp.where(mask_ref[:] > 0, 0.0, MASK_VALUE)[:, None, :]
     if use_rpe:
         us, vs = _axis_tensors(xyz_ref, delta_ref, P, K, cdt)
+        if fuse_dtab:
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                db_ref[:] = jnp.zeros_like(db_ref)
+            dms = [[], [], []]       # per axis: per-head (P, P) blocks
     for h in range(H):
         logits = _head_logits(q_ref, k_ref, h, hd, scale)
         if use_rpe:
@@ -176,8 +191,29 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
             dl_c, qh, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)              # (WT, T, hd)
         dk_ref[:, :, h * hd:(h + 1) * hd] = (dk * scale).astype(cdt)
-        if use_rpe:
+        if use_rpe and not fuse_dtab:
             db_ref[h] = dl_c[:, G:, G:]                      # (WT, K, K)
+        elif use_rpe:
+            # In-kernel P-decomposition of the table grad: per axis a,
+            # m_a[p, q] = sum_{w,t,s} U_a[w,t,p] dlog[w,t,s] U_a[w,s,q]
+            # — two MXU contractions; the (P, P) result is tiny.
+            dlK = dl_c[:, G:, G:]                            # (WT, K, K)
+            for a in range(3):
+                c1 = jax.lax.dot_general(
+                    dlK, us[a], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # (WT, K, P)
+                # m[p, q] = sum_{w,t} U[w,t,p] c1[w,t,q]: batch-w
+                # contraction over t (the chip-proven _head_bias form;
+                # a (WT*K, P) flattening is an unsupported Mosaic
+                # shape cast), then a VPU sum over w.
+                mw = jax.lax.dot_general(
+                    us[a], c1.astype(cdt), (((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # (WT, P, P)
+                dms[a].append(jnp.sum(mw, axis=0))
+    if use_rpe and fuse_dtab:
+        dm = jnp.stack([jnp.concatenate(dms[a], axis=1)
+                        for a in range(3)], axis=0)   # (3, P, H*P)
+        db_ref[:] = db_ref[:] + dm
 
 
 def _specs3(WT, T, C, K, delta_shape):
@@ -213,27 +249,42 @@ def _call_fwd(q, k, v, xyz, mask, delta, num_heads, rt_per_window,
     )(q, k, v, xyz, mask, delta)
 
 
+# In-kernel RPE table-grad reduction (VERDICT r3 #3). When False the
+# backward spills the full (H, BW, K, K) per-pair cotangent to HBM and
+# reduces it in XLA (_dtab_from_dbias) — kept as a fallback / A/B path.
+FUSE_DTAB = True
+
+
 def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, rt_per_window,
               coord_range, use_rpe, window_tile, interpret):
     BW, T, C = q.shape
     WT = window_tile
     H = num_heads
     K = T - rt_per_window
+    P = coord_range
+    fuse = FUSE_DTAB and use_rpe
     kern = functools.partial(_bwd_kernel, num_heads=num_heads,
                              rt_per_window=rt_per_window,
-                             coord_range=coord_range, use_rpe=use_rpe)
+                             coord_range=coord_range, use_rpe=use_rpe,
+                             fuse_dtab=fuse)
     in_specs, tile3 = _specs3(WT, T, C, K, delta.shape)
+    if fuse:
+        db_spec = pl.BlockSpec((3, P, H * P), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        db_shape = jax.ShapeDtypeStruct((3, P, H * P), jnp.float32)
+    else:
+        db_spec = pl.BlockSpec((H, WT, K, K), lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        db_shape = jax.ShapeDtypeStruct((H, BW, K, K), q.dtype)
     dq, dk, dv, dbias = pl.pallas_call(
         kern,
         grid=(BW // WT,),
         in_specs=in_specs + [tile3],
-        out_specs=[tile3, tile3, tile3,
-                   pl.BlockSpec((H, WT, K, K), lambda i: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM)],
+        out_specs=[tile3, tile3, tile3, db_spec],
         out_shape=[jax.ShapeDtypeStruct((BW, T, C), q.dtype),
                    jax.ShapeDtypeStruct((BW, T, C), q.dtype),
                    jax.ShapeDtypeStruct((BW, T, C), q.dtype),
-                   jax.ShapeDtypeStruct((H, BW, K, K), q.dtype)],
+                   db_shape],
         interpret=interpret,
     )(q, k, v, xyz, mask, delta, g)
     return dq, dk, dv, dbias
@@ -261,6 +312,23 @@ def _dtab_from_dbias(dbias, xyz, pos_bnd: int, coord_range: int):
         m = jnp.einsum("btp,hbtq->hpq", u.astype(jnp.float32), c1,
                        preferred_element_type=jnp.float32)
         parts.append(jnp.einsum("hpq,pqj->jh", m, fold,
+                                preferred_element_type=jnp.float32))
+    return jnp.concatenate(parts, axis=0)                    # (3*num, H)
+
+
+def _dtab_from_dm(dm, pos_bnd: int, coord_range: int):
+    """Fused-path epilogue: (3, P, H*P) in-kernel pair-matrix grads ->
+    (3*num, H) table rows via the constant Toeplitz fold. Tiny."""
+    P = int(coord_range)
+    num = 2 * pos_bnd + 1
+    H = dm.shape[-1] // P
+    p = jnp.arange(P, dtype=jnp.int32)
+    diff = jnp.clip(p[:, None] - p[None, :], -pos_bnd, pos_bnd) + pos_bnd
+    fold = jax.nn.one_hot(diff, num, dtype=jnp.float32)      # (P, P, num)
+    parts = []
+    for a in range(3):
+        m = dm[a].reshape(P, H, P)                           # (p, h, q)
+        parts.append(jnp.einsum("phq,pqj->jh", m, fold,
                                 preferred_element_type=jnp.float32))
     return jnp.concatenate(parts, axis=0)                    # (3*num, H)
 
@@ -336,7 +404,9 @@ def _bwd_rule(num_heads, rt_per_window, pos_bnd, use_rpe, window_tile,
         dqs.append(dq)
         dks.append(dk)
         dvs.append(dv)
-        if use_rpe:
+        if use_rpe and FUSE_DTAB:
+            dtabs.append(_dtab_from_dm(dbias, pos_bnd, coord_range))
+        elif use_rpe:
             dtabs.append(_dtab_from_dbias(dbias, xyz, pos_bnd, coord_range))
     if nb == 1:
         dq, dk, dv = dqs[0], dks[0], dvs[0]

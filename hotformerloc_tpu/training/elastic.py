@@ -56,8 +56,9 @@ def maybe_requeue_exit(trainer, epoch: int):
         return
     from hotformerloc_tpu.training.trainer import save_checkpoint
     path = trainer.ckpt_path("latest")
-    save_checkpoint(path, trainer.state, epoch, trainer.best_metric,
-                    trainer._extra_meta())
+    extra = (trainer._extra_meta()
+             if hasattr(trainer, "_extra_meta") else None)
+    save_checkpoint(path, trainer.state, epoch, trainer.best_metric, extra)
     print(f"[elastic] checkpoint saved to {path}; exiting for requeue",
           flush=True)
     sys.exit(REQUEUE_EXIT_CODE)

@@ -94,6 +94,7 @@ class TestFusedAttention:
 
 
 class TestModelIntegration:
+    @pytest.mark.slow
     def test_model_pallas_matches_xla(self):
         """Full tiny model: identical params, pallas vs XLA descriptors."""
         import dataclasses

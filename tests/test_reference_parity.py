@@ -23,6 +23,10 @@ value, which our per-sample static layout must reproduce for any B.
 import numpy as np
 import pytest
 
+# Heavy-compile file: excluded from the fast core (pytest -m "not slow") — loads torch reference + full-model compiles.
+pytestmark = pytest.mark.slow
+
+
 torch = pytest.importorskip("torch")
 
 from hotformerloc_tpu.config.params import parse_model_config

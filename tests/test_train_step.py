@@ -9,6 +9,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy-compile file: excluded from the fast core (pytest -m "not slow") — multistage/step compiles dominate suite wall-time.
+pytestmark = pytest.mark.slow
+
+
 from hotformerloc_tpu.losses.losses import make_loss
 from hotformerloc_tpu.models.config import tiny_test_config
 from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc

@@ -7,6 +7,10 @@ import jax
 import numpy as np
 import pytest
 
+# Heavy-compile file: excluded from the fast core (pytest -m "not slow") — end-to-end trainer compiles.
+pytestmark = pytest.mark.slow
+
+
 from hotformerloc_tpu.config.params import parse_train_config
 from hotformerloc_tpu.data.tuples import TrainingTuple
 

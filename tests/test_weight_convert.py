@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Heavy-compile file: excluded from the fast core (pytest -m "not slow") — torch reference import + full-model compile.
+pytestmark = pytest.mark.slow
+
+
 from hotformerloc_tpu.models.config import tiny_test_config
 from hotformerloc_tpu.models.hotformerloc import HOTFormerLoc
 from hotformerloc_tpu.tools.convert_reference_weights import (
