@@ -199,7 +199,7 @@ class DataLoader:
     def __init__(self, dataset: TrainingDataset, sampler: BatchSampler,
                  num_points: int, seed: int = 0, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 num_workers: int = 0, worker_mode: str = "process"):
+                 num_workers: int = 0, worker_mode: str = "thread"):
         self.dataset = dataset
         self.sampler = sampler
         self.num_points = num_points
@@ -265,8 +265,12 @@ class DataLoader:
 
         worker_mode 'process' forks workers (the reference's DataLoader
         model — sidesteps the GIL-bound python share of augmentation);
-        'thread' keeps everything in-process (zero-copy results). Both
-        produce identical batches (seeding is order-independent)."""
+        'thread' keeps everything in-process (zero-copy results, and
+        the safe default: forking after jax has started its runtime
+        threads risks deadlock — jax emits a RuntimeWarning — so use
+        'process' only when workers are spun up before device work, or
+        from pure-host tools like loader_bench). Both produce identical
+        batches (seeding is order-independent)."""
         if self.worker_mode == "process":
             from concurrent.futures import ProcessPoolExecutor
             import multiprocessing as mp

@@ -56,8 +56,12 @@ def _pick_window_tile(bw: int, limit: int = 8) -> int:
     # whole array is one block.
     if _FORCED_WINDOW_TILE is not None and bw % _FORCED_WINDOW_TILE == 0:
         return _FORCED_WINDOW_TILE
-    # wt=16 crashes the remote Mosaic backend at the hosa shape
-    # (tools/probe_attn_kernel3.py); 8 is reliable and within 10% of 16.
+    # wt=16 used to crash the remote Mosaic backend at the hosa shape
+    # (tools/probe_attn_kernel3.py); after the fused-dtab backward
+    # restructure it compiles and is 10-15% faster than 8
+    # (docs/PALLAS_AB_r4.json). wt=32 still crashes Mosaic.
+    if bw % 16 == 0:
+        return 16
     if bw % 8 == 0:
         return 8
     # Fallback: the whole (B*W) axis as one block. Mosaic only accepts

@@ -299,7 +299,7 @@ def exp_noremat(results):
             ms = _time(g, variables["params"], other, iters=3)
             _record(results, f"grad_mb8_{tag}", ms=ms)
         except Exception as e:
-            _record(results, f"grad_mb8_{tag}", error=str(e)[:300])
+            _record(results, f"grad_mb8_{tag}", error=str(e)[:1500])
 
 
 def main():

@@ -52,12 +52,13 @@ capacities = 192,384,576,1152,1024,1024
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/synth_bench_flagship")
-    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--epochs", type=int, default=150)
     ap.add_argument("--places_per_loc", type=int, default=16)
     ap.add_argument("--num_points", type=int, default=1024)
+    ap.add_argument("--train_variants", type=int, default=4)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--eval_freq", type=int, default=10)
-    ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--json_out", default="docs/CONVERGENCE.json")
     args = ap.parse_args()
 
@@ -65,7 +66,8 @@ def main():
     out = args.out
     if not os.path.exists(os.path.join(out, "train_tuples.pickle")):
         info = generate(out, places_per_loc=args.places_per_loc,
-                        num_points=args.num_points)
+                        num_points=args.num_points,
+                        train_variants=args.train_variants)
         print("generated:", info, flush=True)
 
     # flagship-shaped model config (octree_depth 7 / stem 2 / pyramid 3
@@ -92,7 +94,7 @@ min_lr = 1e-5
 weight_decay = 1e-4
 loss = TruncatedSmoothAP
 tau1 = 0.01
-positives_per_query = 1
+positives_per_query = 3
 aug_mode = 1
 set_aug_mode = 1
 octree_depth = 7
@@ -132,7 +134,7 @@ save_freq = 0
         "config": "flagship-shaped (128/256ch, 4+10 blocks, patch 48, "
                   f"3 pyramid levels, {args.num_points} pts, depth 7)",
         "dataset": f"synthetic benchmark, {args.places_per_loc * 4} "
-                   f"places x 2 train variants",
+                   f"places x {args.train_variants} train variants",
         "epochs": args.epochs,
         "final_loss": losses[-1]["loss"] if losses else None,
         "best_avg_AR1": max((e["avg_AR1"] for e in evals), default=None),

@@ -88,7 +88,8 @@ def _place_factory(place_seed: int):
 
 
 def generate(out: str, places_per_loc: int = 8, num_points: int = 1024,
-             seed: int = 0) -> Dict[str, object]:
+             seed: int = 0,
+             train_variants: int = TRAIN_VARIANTS) -> Dict[str, object]:
     from hotformerloc_tpu.data.tuples import TrainingTuple
     os.makedirs(os.path.join(out, "clouds"), exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -102,14 +103,14 @@ def generate(out: str, places_per_loc: int = 8, num_points: int = 1024,
         pc.astype(np.float64).tofile(os.path.join(out, rel))
         return rel
 
-    # -- train split: TRAIN_VARIANTS variants of every place ------------
+    # -- train split: train_variants variants of every place ------------
+    TV = train_variants
     queries: Dict[int, TrainingTuple] = {}
     for p in range(n_places):
-        for v in range(TRAIN_VARIANTS):
-            i = p * TRAIN_VARIANTS + v
+        for v in range(TV):
+            i = p * TV + v
             rel = write_cloud(p, v)
-            sibs = [p * TRAIN_VARIANTS + u for u in range(TRAIN_VARIANTS)
-                    if u != v]
+            sibs = [p * TV + u for u in range(TV) if u != v]
             queries[i] = TrainingTuple(
                 i, i, rel, np.sort(np.array(sibs)),
                 np.sort(np.array(sibs + [i])),
@@ -124,7 +125,7 @@ def generate(out: str, places_per_loc: int = 8, num_points: int = 1024,
         for run in range(EVAL_RUNS):
             db_run, q_run = {}, {}
             for i, p in enumerate(places):
-                rel = write_cloud(p, TRAIN_VARIANTS + run)
+                rel = write_cloud(p, TV + run)
                 entry = {"query": rel, "northing": float(p) * 50.0,
                          "easting": 0.0}
                 db_run[i] = dict(entry)
@@ -142,7 +143,7 @@ def generate(out: str, places_per_loc: int = 8, num_points: int = 1024,
             pickle.dump(q_sets, f)
 
     # -- ready-to-train configs -----------------------------------------
-    batch = min(4 * TRAIN_VARIANTS * places_per_loc, 32)
+    batch = min(4 * TV * places_per_loc, 32)
     with open(os.path.join(out, "train.txt"), "w") as f:
         f.write(f"""[DEFAULT]
 dataset_folder = {out}
@@ -162,7 +163,7 @@ min_lr = 1e-5
 weight_decay = 1e-4
 loss = TruncatedSmoothAP
 tau1 = 0.01
-positives_per_query = {TRAIN_VARIANTS - 1}
+positives_per_query = {TV - 1}
 aug_mode = 1
 set_aug_mode = 1
 octree_depth = 6
