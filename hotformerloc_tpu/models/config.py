@@ -66,12 +66,14 @@ class ModelConfig:
     # (CPE + stem): per-tile one-hot MXU selection over a VMEM halo band
     # replaces the ~70 GB/s flat HBM gather; exact via escape patching
     # (ops/pallas/band_conv.py, A/B in docs/GATHER_AB.json).
-    # S64/HR128 is the measured-fastest variant (4.19/6.49 ms fwd/bwd
-    # at C=256 vs 4.80/8.40 for HR256, docs/COMPONENT_PROFILE.json);
-    # hard-node fraction 2.8% on real Oxford tables vs the 12.5%
-    # capacity (overflow counted in stats either way).
+    # HR=128 is the measured-fastest halo (docs/COMPONENT_PROFILE.json);
+    # band_tile is the PREFERRED tile — plan building picks the largest
+    # of {128, 64} dividing each level's capacity (S=128 fills MXU rows:
+    # 3.31 vs 4.19 ms fwd at C=256 on chip). Hard-node fraction ~2.8%
+    # on real Oxford tables vs the 12.5% capacity (overflow counted in
+    # stats either way).
     use_band_conv: bool = True
-    band_tile: int = 64
+    band_tile: int = 128
     band_halo: int = 128
     # octree / static shapes
     octree_depth: int = 9
@@ -179,10 +181,19 @@ class ModelConfig:
         out = []
         for d in range(self.min_depth, self.octree_depth + 1):
             n = caps[d - self.min_depth]
-            if (d > self.dense_cpe_max_depth and n % self.band_tile == 0
-                    and n >= 4 * self.band_tile):
+            # viability at the smallest tile (64); the plan build picks
+            # the largest dividing tile per level (band_conv.pick_tile)
+            if d > self.dense_cpe_max_depth and n % 64 == 0 and n >= 256:
                 out.append(d)
         return tuple(out)
+
+    def dense_depths(self) -> Tuple[int, ...]:
+        """Depths whose CPE runs the dense voxel-grid path — their
+        voxel->node maps are hoisted into the plan (build_plan
+        dense_depths) so the serial lookup isn't replayed per block."""
+        return tuple(d for d in range(self.min_depth,
+                                      self.transformer_depth + 1)
+                     if d <= self.dense_cpe_max_depth)
 
     def drop_path_rates(self) -> Tuple[float, ...]:
         """Per-block linearly increasing stochastic depth

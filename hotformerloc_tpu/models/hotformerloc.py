@@ -83,7 +83,7 @@ class HOTFormerLoc(nn.Module):
                                           c.resolve_capacities(),
                                           normals=normals)
             plan = build_plan(octree, c.band_depths(), c.band_tile,
-                              c.band_halo)
+                              c.band_halo, c.dense_depths())
         octree = plan.octree
         feat = input_features(octree, c.input_features).astype(self.dtype)
 

@@ -373,7 +373,8 @@ class CPE(nn.Module):
             if self.dense_grid and ctx is not None and ctx.keys is not None:
                 y = oconv.octree_dwconv_dense(
                     x, ctx.keys, ctx.counts, ctx.xyz, ctx.node_valid, wd,
-                    ctx.depth)
+                    ctx.depth,
+                    vox_idx=getattr(ctx, "dense_idx", None))
             else:
                 y = _stride1_dwconv(x, neigh, wd, band)
         return Norm(self.dim, self.conv_norm, self.dtype)(y, valid, train)

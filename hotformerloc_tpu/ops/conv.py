@@ -47,6 +47,7 @@ Two TPU performance rules shape this file (both measured on v5e):
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -299,16 +300,27 @@ def _morton_of_raster(depth: int):
     return key.reshape(-1).astype(np.int32)
 
 
-def _to_dense(x, keys, counts, depth: int):
-    """(B, N, C) node features -> (B, D, D, D, C) dense grid (zeros at
-    empty voxels). keys: (B, N) sorted Morton keys with SENTINEL tail."""
+def dense_voxel_index(keys, counts, depth: int) -> jnp.ndarray:
+    """(B, V) node index of every raster voxel (-1 = empty) — the
+    input-independent half of the dense formulation. Costs a 13-step
+    serial binary search (~4 ms at depth 4 on v5e), so it is computed
+    ONCE per plan (ops/plan.py dense_depths) and reused by every CPE at
+    that level; under per-block remat an inline computation would be
+    replayed per block."""
     from hotformerloc_tpu.octree.neigh import _flat_lookup
-    B, N, C = x.shape
+    B = keys.shape[0]
     D = 2 ** depth
     q = jnp.broadcast_to(jnp.asarray(_morton_of_raster(depth))[None],
                          (B, D ** 3))
-    idx = _flat_lookup(keys, counts, q)              # (B, V), -1 = empty
-    dense = _gather_rows(x, idx)                     # zeros where idx < 0
+    return _flat_lookup(keys, counts, q)             # (B, V)
+
+
+def _to_dense(x, vox_idx, depth: int):
+    """(B, N, C) node features -> (B, D, D, D, C) dense grid (zeros at
+    empty voxels). vox_idx: (B, V) from dense_voxel_index."""
+    B, N, C = x.shape
+    D = 2 ** depth
+    dense = _gather_rows(x, vox_idx)                 # zeros where idx < 0
     return dense.reshape(B, D, D, D, C)
 
 
@@ -334,31 +346,31 @@ def _dense_conv(dense, w):
         feature_group_count=C)
 
 
-def _dwdense_fwd_impl(x, keys, counts, xyz, valid, w, depth):
-    dense = _to_dense(x, keys, counts, depth)
+def _dwdense_fwd_impl(x, vox_idx, xyz, valid, w, depth):
+    dense = _to_dense(x, vox_idx, depth)
     out = _dense_conv(dense, w)
     return _from_dense(out, xyz, valid)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _dwdense_core(x, keys, counts, xyz, valid, w, depth):
-    return _dwdense_fwd_impl(x, keys, counts, xyz, valid, w, depth)
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dwdense_core(x, vox_idx, xyz, valid, w, depth):
+    return _dwdense_fwd_impl(x, vox_idx, xyz, valid, w, depth)
 
 
-def _dwdense_fwd(x, keys, counts, xyz, valid, w, depth):
-    return (_dwdense_fwd_impl(x, keys, counts, xyz, valid, w, depth),
-            (x, keys, counts, xyz, valid, w))
+def _dwdense_fwd(x, vox_idx, xyz, valid, w, depth):
+    return (_dwdense_fwd_impl(x, vox_idx, xyz, valid, w, depth),
+            (x, vox_idx, xyz, valid, w))
 
 
 def _dwdense_bwd(depth, res, dy):
-    x, keys, counts, xyz, valid, w = res
+    x, vox_idx, xyz, valid, w = res
     dy = jnp.where(valid[..., None], dy, 0)
     # dx = dwconv(dy, flipped taps): raster tap flip == spatial flip.
-    dx = _dwdense_fwd_impl(dy, keys, counts, xyz, valid, w[::-1], depth)
+    dx = _dwdense_fwd_impl(dy, vox_idx, xyz, valid, w[::-1], depth)
     # dw[k, c] = sum over occupied voxels of x[v + off_k] * dy[v]:
     # 27 shifted contractions over the dense grids (no scatter).
-    dense_x = _to_dense(x, keys, counts, depth)
-    dense_dy = _to_dense(dy, keys, counts, depth)
+    dense_x = _to_dense(x, vox_idx, depth)
+    dense_dy = _to_dense(dy, vox_idx, depth)
     D = 2 ** depth
     xp = jnp.pad(dense_x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     parts = []
@@ -370,7 +382,7 @@ def _dwdense_bwd(depth, res, dy):
                     "bxyzc,bxyzc->c", sh, dense_dy,
                     preferred_element_type=jnp.float32))
     dw = jnp.stack(parts, axis=0).astype(w.dtype)    # (27, C)
-    return dx, None, None, None, None, dw
+    return dx, None, None, None, dw
 
 
 _dwdense_core.defvjp(_dwdense_fwd, _dwdense_bwd)
@@ -379,16 +391,23 @@ _dwdense_core.defvjp(_dwdense_fwd, _dwdense_bwd)
 def octree_dwconv_dense(x: jnp.ndarray, keys: jnp.ndarray,
                         counts: jnp.ndarray, xyz: jnp.ndarray,
                         valid: jnp.ndarray, w: jnp.ndarray,
-                        depth: int) -> jnp.ndarray:
+                        depth: int,
+                        vox_idx: Optional[jnp.ndarray] = None
+                        ) -> jnp.ndarray:
     """Depthwise octree conv via a dense voxel grid — numerically equal
     to `octree_dwconv(x, neigh_table(...), w)` at coarse depths.
 
     x: (B, N, C); keys: (B, N) sorted Morton keys (SENTINEL padding);
     counts: (B,); xyz: (B, N, 3) voxel coords; valid: (B, N);
     w: (27, C) raster-ordered taps; depth: grid depth (V = 8^depth).
+    vox_idx: optional precomputed dense_voxel_index(keys, counts, depth)
+    — pass the plan-level one (LevelCtx.dense_idx) so the serial binary
+    search isn't replayed per CPE call under remat.
     """
     assert w.shape[0] == 27
-    return _dwdense_core(x, keys, counts, xyz, valid, w, depth)
+    if vox_idx is None:
+        vox_idx = dense_voxel_index(keys, counts, depth)
+    return _dwdense_core(x, vox_idx, xyz, valid, w, depth)
 
 
 def global_pool(x: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

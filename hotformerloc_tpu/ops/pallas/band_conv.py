@@ -480,6 +480,16 @@ def _banded_conv_bwd(interpret, res, dy):
 banded_conv.defvjp(_banded_conv_fwd, _banded_conv_bwd)
 
 
+def pick_tile(N: int, prefer: int = 128) -> int:
+    """Largest tile in {prefer, ..., 64} dividing the level capacity.
+    S=128 fills MXU rows (3.31 vs 4.19 ms fwd at C=256 on chip); S=64
+    is the fallback for capacities that are only 64-aligned."""
+    s = prefer
+    while s > 64 and (N % s != 0 or N < 4 * s):
+        s //= 2
+    return s
+
+
 def band_viable(N: int, C: int, S: int = DEFAULT_TILE) -> bool:
     """Static check: tile divides the level capacity and the channel
     count is MXU-worthy (tiny-channel convs gather so few bytes the

@@ -29,6 +29,7 @@ class LevelCtx:
     keys: jnp.ndarray = None    # (B, N) sorted Morton keys (dense dwconv)
     counts: jnp.ndarray = None  # (B,) valid node counts
     band: object = None         # Optional[band_conv.BandTables]
+    dense_idx: jnp.ndarray = None  # (B, 8^d) voxel->node map (dense CPE)
 
 
 @struct.dataclass
@@ -40,14 +41,20 @@ class OctreePlan:
     # Per-level escape bookkeeping for the banded Pallas conv path
     # (ops/pallas/band_conv.py); None where banding is off/unviable.
     bands: Tuple[object, ...] = ()
+    # Per-level (B, 8^d) voxel->node maps for the dense-grid CPE path —
+    # hoisted here because the serial binary search behind them would
+    # otherwise be replayed per CPE block under remat (ops/conv.
+    # dense_voxel_index).
+    dense_idxs: Tuple[Optional[jnp.ndarray], ...] = ()
 
     def level_ctx(self, d: int) -> LevelCtx:
         lev = self.octree.level(d)
         band = self.bands[lev] if self.bands else None
+        didx = self.dense_idxs[lev] if self.dense_idxs else None
         return LevelCtx(depth=d, node_valid=self.octree.node_valid(d),
                         xyz=self.octree.xyz(d), neigh=self.neighs[lev],
                         keys=self.octree.key(d), counts=self.octree.count(d),
-                        band=band)
+                        band=band, dense_idx=didx)
 
     def band_overflow(self) -> jnp.ndarray:
         """Total hard-node capacity overflow across banded levels (0 =
@@ -78,7 +85,8 @@ class OctreePlan:
 
 
 def build_plan(octree: BatchedOctree, band_depths: Tuple[int, ...] = (),
-               band_tile: int = 64, band_halo: int = 256) -> OctreePlan:
+               band_tile: int = 64, band_halo: int = 256,
+               dense_depths: Tuple[int, ...] = ()) -> OctreePlan:
     """Compute neighbour + child tables for every materialised depth.
 
     Child tables come first (one flat scatter each), then ALL neighbour
@@ -96,10 +104,21 @@ def build_plan(octree: BatchedOctree, band_depths: Tuple[int, ...] = (),
     neighs = all_neigh_tables(octree, childrens)
     bands = ()
     if band_depths:
-        from hotformerloc_tpu.ops.pallas.band_conv import build_band_tables
+        from hotformerloc_tpu.ops.pallas.band_conv import (build_band_tables,
+                                                           pick_tile)
         bands = tuple(
-            build_band_tables(neighs[octree.level(d)], band_tile, band_halo)
+            build_band_tables(
+                neighs[octree.level(d)],
+                pick_tile(neighs[octree.level(d)].shape[1], band_tile),
+                band_halo)
             if d in band_depths else None
             for d in range(octree.min_depth, octree.depth + 1))
+    dense_idxs = ()
+    if dense_depths:
+        from hotformerloc_tpu.ops.conv import dense_voxel_index
+        dense_idxs = tuple(
+            dense_voxel_index(octree.key(d), octree.count(d), d)
+            if d in dense_depths else None
+            for d in range(octree.min_depth, octree.depth + 1))
     return OctreePlan(octree=octree, neighs=neighs, childrens=childrens,
-                      bands=bands)
+                      bands=bands, dense_idxs=dense_idxs)

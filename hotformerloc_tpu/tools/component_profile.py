@@ -86,7 +86,7 @@ def exp_band(results):
     B, N, K = neigh.shape
     rng = np.random.default_rng(1)
 
-    for S, HR in ((64, 256), (128, 256), (64, 128)):
+    for S, HR in ((128, 128), (64, 128)):
         nj = jnp.asarray(neigh)
         bt = jax.jit(lambda n: bc.build_band_tables(n, S, HR))(nj)
         hard = float((np.asarray(bt.hard_pos) >= 0).mean())

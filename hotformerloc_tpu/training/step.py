@@ -162,7 +162,7 @@ def _precompute_plans(model, pts_s, msk_s):
     octree = build_batched_octree(flat_p, flat_m, cfg.octree_depth,
                                   cfg.min_depth, cfg.resolve_capacities())
     plan = build_plan(octree, cfg.band_depths(), cfg.band_tile,
-                      cfg.band_halo)
+                      cfg.band_halo, cfg.dense_depths())
     return jax.tree_util.tree_map(
         lambda x: x.reshape(A, mb, *x.shape[1:]), plan)
 
