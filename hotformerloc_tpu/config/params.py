@@ -157,7 +157,7 @@ def parse_train_config(params_path: str, model_params_path: str,
 
     tp = TrainParams(
         dataset_folder=d.get("dataset_folder", ""),
-        num_workers=t.getint("num_workers", 0),
+        num_workers=t.getint("num_workers", 2),
         batch_size=t.getint("batch_size", 64),
         batch_split_size=t.getint("batch_split_size", 0) or None,
         val_batch_size=t.getint("val_batch_size", 256),

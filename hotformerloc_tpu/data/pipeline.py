@@ -263,19 +263,20 @@ class DataLoader:
         """Pool path: keep num_workers+prefetch batches in flight,
         yield strictly in order.
 
-        worker_mode 'process' forks workers (the reference's DataLoader
+        worker_mode 'process' spawns workers (the reference's DataLoader
         model — sidesteps the GIL-bound python share of augmentation);
-        'thread' keeps everything in-process (zero-copy results, and
-        the safe default: forking after jax has started its runtime
-        threads risks deadlock — jax emits a RuntimeWarning — so use
-        'process' only when workers are spun up before device work, or
-        from pure-host tools like loader_bench). Both produce identical
-        batches (seeding is order-independent)."""
+        'thread' keeps everything in-process (zero-copy results, the
+        default). Both produce identical batches (seeding is
+        order-independent)."""
         if self.worker_mode == "process":
             from concurrent.futures import ProcessPoolExecutor
             import multiprocessing as mp
+            # 'spawn', not 'fork': forking after jax initialises its
+            # runtime threads is a documented deadlock risk (jax emits
+            # a RuntimeWarning). The dataset ships via initargs, so
+            # spawned workers need no inherited state.
             pool = ProcessPoolExecutor(
-                self.num_workers, mp_context=mp.get_context("fork"),
+                self.num_workers, mp_context=mp.get_context("spawn"),
                 initializer=_pool_init,
                 initargs=(self.dataset, self.num_points))
             submit = functools.partial(pool.submit, _pool_make)

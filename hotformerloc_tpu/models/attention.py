@@ -45,12 +45,27 @@ def rpe_pos_bnd(patch_size: int, dilation: int) -> int:
     return int(0.8 * patch_size * dilation**0.5)
 
 
-# Window-tile override for the on-chip A/B tool (tools/pallas_ab.py);
-# None = automatic choice.
+# Window-tile / pack overrides for the on-chip A/B tool
+# (tools/pallas_ab.py); None = automatic choice.
 _FORCED_WINDOW_TILE: Optional[int] = None
+_FORCED_PACK: Optional[int] = None
 
 
-def _pick_window_tile(bw: int, limit: int = 8) -> int:
+def _pick_pack(bw: int, T: int) -> int:
+    """Windows fused per kernel row block (ops/pallas/window_attn.py):
+    pack*T tokens share one row block, so every per-head T x T dot
+    becomes a pack*T x pack*T dot — ~pack-fold fewer MXU passes while
+    pack*T <= 128 keeps each dot a single tile. On-chip A/B
+    (docs/PALLAS_AB_r5.json): pack=2 wins at both production shapes."""
+    if _FORCED_PACK is not None and bw % _FORCED_PACK == 0:
+        return _FORCED_PACK
+    for p in (8, 4, 2):
+        if p * T <= 128 and bw % p == 0:
+            return p
+    return 1
+
+
+def _pick_window_tile(bw: int, limit: int = 8) -> Optional[int]:
     # Mosaic block rule: the sublane block dim must be a multiple of 8
     # (or equal the full array dim), so tiles below 8 only when the
     # whole array is one block.
@@ -66,15 +81,13 @@ def _pick_window_tile(bw: int, limit: int = 8) -> int:
         return 8
     # Fallback: the whole (B*W) axis as one block. Mosaic only accepts
     # sublane blocks that are multiples of 8 OR the full dim, and a
-    # single huge block risks a VMEM-limit failure — so cap it. Every
-    # shipped config rounds window counts to multiples of 8
-    # (resolve_capacities: block_num = patch_size*dilation with
+    # single huge block risks a VMEM-limit failure — so cap it: above
+    # the cap the caller falls back to the XLA attention path instead
+    # (None). Every shipped config rounds window counts to multiples of
+    # 8 (resolve_capacities: block_num = patch_size*dilation with
     # patch_size >= 8), so this path is test-/toy-shape only.
     if bw > 512:
-        raise ValueError(
-            f"use_pallas_attn needs the window count per microbatch "
-            f"(B*W = {bw}) to be a multiple of 8; a single-block "
-            f"fallback at this size would exceed VMEM")
+        return None
     return bw
 
 
@@ -120,7 +133,9 @@ class WindowAttention(nn.Module):
             table = self.param("rpe_table", trunc_normal(0.02),
                                (3 * (2 * bnd + 1), H))
 
-        can_fuse = (self.use_pallas and
+        pack = _pick_pack(B * W, T)
+        wt = _pick_window_tile(B * W // pack)
+        can_fuse = (self.use_pallas and wt is not None and
                     (deterministic or (self.attn_drop == 0.0)))
         if can_fuse:
             from hotformerloc_tpu.ops.pallas.window_attn import \
@@ -131,12 +146,25 @@ class WindowAttention(nn.Module):
             v = qkv_f[:, :, 2]
             if use_rpe:
                 xyz_p = jnp.moveaxis(xyz_w, 3, 2).reshape(B * W, 3, K)
+                if G > 0:
+                    # relay slots carry the sentinel coord -1: their
+                    # one-hot rows are zero, so their RPE bias rows/cols
+                    # vanish exactly (replaces the old in-kernel G-pad).
+                    sent = jnp.full((B * W, 3, G), -1, jnp.int32)
+                    xyz_p = jnp.concatenate([sent, xyz_p], axis=2)
                 tab = table.astype(jnp.float32)
             else:
-                xyz_p = jnp.zeros((B * W, 3, K), jnp.int32)
+                xyz_p = jnp.zeros((B * W, 3, T), jnp.int32)
                 tab = jnp.zeros((3, H), jnp.float32)
             mask_i = key_mask.reshape(B * W, T).astype(jnp.int32)
-            wt = _pick_window_tile(B * W)
+            if pack > 1:
+                BWp = B * W // pack
+                q = q.reshape(BWp, pack * T, C)
+                k = k.reshape(BWp, pack * T, C)
+                v = v.reshape(BWp, pack * T, C)
+                mask_i = mask_i.reshape(BWp, pack * T)
+                xyz_p = (xyz_p.reshape(BWp, pack, 3, T)
+                         .swapaxes(1, 2).reshape(BWp, 3, pack * T))
             interp = jax.default_backend() != "tpu"
             cr = self.coord_range
             if cr is None and use_rpe:
@@ -146,9 +174,14 @@ class WindowAttention(nn.Module):
                     "statically bound the window coords")
             if cr is None:
                 cr = 1
-            out = fused_window_attention(q, k, v, xyz_p, mask_i, tab, H, G,
-                                         bnd, use_rpe, wt, interp, cr)
+            out = fused_window_attention(q, k, v, xyz_p, mask_i, tab, H,
+                                         pack, bnd, use_rpe, wt, interp, cr)
             out = out.reshape(B, W, T, C)
+            # selective-remat tag: with remat_policy 'save_attn'/
+            # 'save_hot' the backward keeps this instead of re-running
+            # the kernel forward (models/backbone._remat)
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, "attn_out")
         else:
             qkv = qkv.reshape(B, W, T, 3, H, hd)
             q, k, v = (qkv[..., 0, :, :], qkv[..., 1, :, :],
@@ -182,6 +215,8 @@ class WindowAttention(nn.Module):
             out = jnp.einsum("bwhts,bwshd->bwthd", attn.astype(self.dtype),
                              v)
             out = out.reshape(B, W, T, C)
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, "attn_out")
         out = dense(C, self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 

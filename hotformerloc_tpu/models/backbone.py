@@ -30,6 +30,23 @@ from hotformerloc_tpu.ops import window as ow
 from hotformerloc_tpu.ops.plan import OctreePlan
 
 
+def _remat(cfg: ModelConfig, target, **kw):
+    """nn.remat with the config's selective policy (ModelConfig
+    .remat_policy): the backward keeps the tagged hot outputs
+    (checkpoint_name tags in models/attention.py / models/layers.py)
+    instead of recomputing the attention kernels and CPE convs."""
+    import jax
+    policy = None
+    if cfg.remat_policy == "save_attn":
+        policy = jax.checkpoint_policies.save_only_these_names("attn_out")
+    elif cfg.remat_policy == "save_hot":
+        policy = jax.checkpoint_policies.save_only_these_names(
+            "attn_out", "cpe_out")
+    elif cfg.remat_policy is not None:
+        raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+    return nn.remat(target, policy=policy, **kw)
+
+
 class PatchEmbed(nn.Module):
     """Conv stem (models/octformer_backbone.py:416-453): num_down stages
     of [conv3 stride1 -> conv2 stride2] doubling channels from dim/2^n,
@@ -90,7 +107,7 @@ class OctFormerStage(nn.Module):
             return self._rt_forward(x, ctx, deterministic, train)
         Block = OctFormerBlock
         if c.grad_checkpoint:
-            Block = nn.remat(OctFormerBlock, static_argnums=(4, 5))
+            Block = _remat(c, OctFormerBlock, static_argnums=(4, 5))
         for i, dp in enumerate(self.drop_paths):
             x = Block(self.dim, self.num_heads, c.patch_size,
                       1 if i % 2 == 0 else c.dilation, c.mlp_ratio,
@@ -115,7 +132,7 @@ class OctFormerStage(nn.Module):
         wvalid = ow.window_valid(ctx.node_valid, chunk)
         HBlock = HOTFormerBlock
         if c.grad_checkpoint:
-            HBlock = nn.remat(HOTFormerBlock, static_argnums=(5, 6))
+            HBlock = _remat(c, HOTFormerBlock, static_argnums=(5, 6))
         for i, dp in enumerate(self.drop_paths):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"rt_ln{i}")(rt)
             h = TokenAttention(self.dim, self.num_heads, c.attn_drop,
@@ -237,7 +254,7 @@ class HOTFormerStage(nn.Module):
             # re-enabled (models/hotformerloc_backbone.py:411-430).
             Block = OctFormerBlock
             if c.grad_checkpoint:
-                Block = nn.remat(OctFormerBlock, static_argnums=(4, 5))
+                Block = _remat(c, OctFormerBlock, static_argnums=(4, 5))
             for i, dp in enumerate(self.drop_paths):
                 for j in range(L):
                     locals_[j] = Block(
@@ -298,7 +315,7 @@ class HOTFormerStage(nn.Module):
         # ---- scanned RTSA + H-OSA loop --------------------------------
         Iter = HOTFormerIteration
         if c.grad_checkpoint:
-            Iter = nn.remat(HOTFormerIteration)
+            Iter = _remat(c, HOTFormerIteration)
         ScanIter = nn.scan(
             Iter,
             variable_axes={"params": 0, "batch_stats": 0},

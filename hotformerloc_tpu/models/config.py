@@ -80,6 +80,18 @@ class ModelConfig:
     num_points: int = 4096
     capacities: Optional[Tuple[int, ...]] = None  # per depth from min_depth
     grad_checkpoint: bool = True
+    # Selective remat (VERDICT r4 #2: all-or-nothing per-block remat
+    # double-paid the forward, ~25% of the step). With grad_checkpoint
+    # on, the policy picks what the backward may KEEP instead of
+    # recomputing:
+    #   None        — full remat (the r1-r4 behaviour; lowest memory)
+    #   'save_attn' — keep fused-attention outputs ('attn_out' tags)
+    #   'save_hot'  — keep attention AND CPE-conv outputs (both tags;
+    #                 the two measured-hot recompute families,
+    #                 docs/PROFILE.md)
+    # The reference remats whole blocks and pays the forward twice
+    # (models/hotformerloc_backbone.py:561-583).
+    remat_policy: Optional[str] = "save_hot"
 
     def __post_init__(self):
         # patch_size must be divisible by ct_size/rt_size (reference

@@ -131,11 +131,12 @@ class HOTFormerLoc(nn.Module):
         # Nodes silently dropped by capacity overflow (0 with the default
         # worst-case caps; the train step surfaces this in its stats so
         # occupancy-tuned capacities can never lose accuracy unnoticed).
-        # band_overflow counts hard-node-capacity misses of the banded
-        # conv path the same way (0 = banded == flat exactly).
+        # band_overflow is reported as its OWN stat: a nonzero value
+        # means banded-conv escape-capacity misses (conv exactness
+        # degrades), distinct from octree node-capacity drops.
         return {"global": x,
-                "octree_overflow": (jnp.sum(octree.overflow) +
-                                    plan.band_overflow())}
+                "octree_overflow": jnp.sum(octree.overflow),
+                "band_overflow": plan.band_overflow()}
 
 
 def param_count(params) -> int:

@@ -377,6 +377,11 @@ class CPE(nn.Module):
                     vox_idx=getattr(ctx, "dense_idx", None))
             else:
                 y = _stride1_dwconv(x, neigh, wd, band)
+        # selective-remat tag: with remat_policy 'save_hot' the backward
+        # keeps the conv output instead of re-running the banded/dense
+        # conv kernels (models/backbone._remat)
+        from jax.ad_checkpoint import checkpoint_name
+        y = checkpoint_name(y, "cpe_out")
         return Norm(self.dim, self.conv_norm, self.dtype)(y, valid, train)
 
 

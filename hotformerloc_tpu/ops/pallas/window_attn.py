@@ -9,23 +9,36 @@ WindowAttention gathers alone are >30% of the train step). This kernel
 keeps each window tile resident in VMEM: logits, softmax, and the RPE
 bias never touch HBM, and there is no gather anywhere.
 
+Window packing (round 5): at the production shapes each window is
+T = 48-49 tokens with head dim 16, so every per-head dot is a
+(49, 16) x (16, 49) matmul — one full 128x128x128 MXU pass at ~2%
+utilisation, and the batched-small-dot passes dominate kernel time
+(docs/PROFILE.md r4: 3-5x headroom estimate). ``pack`` windows are
+fused into one row block of pack*T <= 128 rows with a static
+block-diagonal mask killing cross-window logits: every T x T dot
+becomes a pack*T x pack*T dot, cutting the MXU pass count ~pack-fold
+for ~pack-fold wasted lanes that were already padding. Relay slots and
+packing are handled uniformly via SENTINEL COORDS: xyz covers all T
+slots per window, relay/padding slots carry coordinate -1 whose one-hot
+row is zero, so their RPE bias rows/cols vanish exactly (replacing the
+old G-pad logic).
+
 RPE formulation (chosen after on-chip compiler probes —
-tools/mosaic_probe.py, tools/probe_attn_kernel*.py): the per-axis bias
-is bias_a[t, s] = table[clip(x_a[t] - x_a[s], ±bnd), h], i.e. a lookup
+tools/mosaic_probe.py): the per-axis bias is
+bias_a[t, s] = table[clip(x_a[t] - x_a[s], ±bnd), h], i.e. a lookup
 in the (P, P) pair matrix Delta_a,h[p, q] = table[clip(p - q)] with
 P = 2^depth the static coordinate range. Delta is tiny and built OUTSIDE
 the kernel by a fold-matrix matmul; in-kernel the bias per tile is two
 small MXU matmuls per axis:  U_a @ Delta_a  and  (·) @ U_a^T  with
-U_a = one-hot(x_a) of shape (WT, K, P). This avoids the (WT, K, K, 3num)
-one-hot whose size crashes this toolchain's Mosaic backend, and every
-dot has ONE batch dim and ONE contraction (the only forms the compiler
-accepts).
+U_a = one-hot(x_a) of shape (WT, Tp, P). This avoids the
+(WT, K, K, 3num) one-hot whose size crashes this toolchain's Mosaic
+backend, and every dot has ONE batch dim and ONE contraction (the only
+forms the compiler accepts).
 
 The backward recomputes the forward per tile (flash-attention style)
-and emits dq/dk/dv plus the per-pair bias cotangent dbias; the table
-gradient is then three XLA einsums via per-axis coordinate one-hots
-(the scatter-free P-decomposition of ops/rpe.py) — no scatter-add ever
-reaches XLA on either path.
+and emits dq/dk/dv plus the RPE table gradient reduced IN-KERNEL to the
+per-axis pair matrices (FUSE_DTAB) — no scatter-add ever reaches XLA on
+either path.
 """
 from __future__ import annotations
 
@@ -61,31 +74,32 @@ def _delta_tables(table, pos_bnd: int, P: int, dtype):
     return jnp.stack(outs, axis=0).astype(dtype)             # (3, P, H*P)
 
 
-def _axis_tensors(xyz_ref, delta_ref, P: int, K: int, cdt):
-    """Per-axis one-hots U_a (WT, K, P) and V_a = U_a @ Delta_a
-    (WT, K, H*P)."""
+def _axis_tensors(xyz_ref, delta_ref, P: int, Tp: int, cdt):
+    """Per-axis one-hots U_a (WT, Tp, P) and V_a = U_a @ Delta_a
+    (WT, Tp, H*P). Sentinel coords (-1, relay/padding slots) produce
+    all-zero one-hot rows, so their bias rows/cols are exactly 0."""
     WT = xyz_ref.shape[0]
     us, vs = [], []
     for a in range(3):
-        c = xyz_ref[:, a, :]                                 # (WT, K)
-        col = jax.lax.broadcasted_iota(jnp.int32, (WT, K, P), 2)
-        u = (col == c[..., None]).astype(cdt)                # (WT, K, P)
+        c = xyz_ref[:, a, :]                                 # (WT, Tp)
+        col = jax.lax.broadcasted_iota(jnp.int32, (WT, Tp, P), 2)
+        u = (col == c[..., None]).astype(cdt)                # (WT, Tp, P)
         v = jax.lax.dot_general(
             u, delta_ref[a], (((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt)  # (WT, K, H*P)
+            preferred_element_type=jnp.float32).astype(cdt)  # (WT, Tp, H*P)
         us.append(u)
         vs.append(v)
     return us, vs
 
 
 def _head_bias(us, vs, h: int, P: int):
-    """bias_h (WT, K, K) = sum_a V_a[:, :, hP:(h+1)P] @ U_a^T."""
+    """bias_h (WT, Tp, Tp) = sum_a V_a[:, :, hP:(h+1)P] @ U_a^T."""
     bias = None
     for a in range(3):
         vh = vs[a][:, :, h * P:(h + 1) * P]
         b = jax.lax.dot_general(
             vh, us[a], (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (WT, K, K)
+            preferred_element_type=jnp.float32)              # (WT, Tp, Tp)
         bias = b if bias is None else bias + b
     return bias
 
@@ -95,63 +109,81 @@ def _head_logits(q_ref, k_ref, h: int, hd: int, scale: float):
     kh = k_ref[:, :, h * hd:(h + 1) * hd]
     return jax.lax.dot_general(
         qh, kh, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale          # (WT, T, T)
+        preferred_element_type=jnp.float32) * scale          # (WT, Tp, Tp)
+
+
+def _pack_mask(Tp: int, pack: int):
+    """Additive (Tp, Tp) f32 block-diagonal mask: 0 within a window,
+    MASK_VALUE across packed windows."""
+    if pack <= 1:
+        return None
+    T = Tp // pack
+    r = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 0) // T
+    c = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1) // T
+    return jnp.where(r == c, 0.0, MASK_VALUE)
+
+
+def _masked_attn(logits, mask_add, blockmask, rvalid):
+    """fp32 softmax with key mask + cross-window block mask; rows whose
+    query slot is invalid are zeroed exactly (their garbage would
+    otherwise couple packed windows through dv/dk)."""
+    if blockmask is not None:
+        logits = logits + blockmask[None]
+    attn = jax.nn.softmax(logits + mask_add, axis=-1)
+    return attn * rvalid[:, :, None]
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, o_ref,
-                *, num_heads: int, rt_per_window: int, coord_range: int,
+                *, num_heads: int, pack: int, coord_range: int,
                 use_rpe: bool):
-    WT, T, C = q_ref.shape
+    WT, Tp, C = q_ref.shape
     H = num_heads
     hd = C // H
-    G = rt_per_window
-    K = T - G
     P = coord_range
     cdt = q_ref.dtype
     scale = hd ** -0.5
+    rvalid = (mask_ref[:] > 0).astype(jnp.float32)           # (WT, Tp)
     mask_add = jnp.where(mask_ref[:] > 0, 0.0,
-                         MASK_VALUE)[:, None, :]             # (WT, 1, T)
+                         MASK_VALUE)[:, None, :]             # (WT, 1, Tp)
+    blockmask = _pack_mask(Tp, pack)
     if use_rpe:
-        us, vs = _axis_tensors(xyz_ref, delta_ref, P, K, cdt)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp, cdt)
     for h in range(H):
         logits = _head_logits(q_ref, k_ref, h, hd, scale)
         if use_rpe:
-            bh = _head_bias(us, vs, h, P)
-            if G > 0:
-                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
-            logits = logits + bh
-        attn = jax.nn.softmax(logits + mask_add, axis=-1).astype(cdt)
+            logits = logits + _head_bias(us, vs, h, P)
+        attn = _masked_attn(logits, mask_add, blockmask, rvalid).astype(cdt)
         vh = v_ref[:, :, h * hd:(h + 1) * hd]
         out = jax.lax.dot_general(
             attn, vh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (WT, T, hd)
+            preferred_element_type=jnp.float32)              # (WT, Tp, hd)
         o_ref[:, :, h * hd:(h + 1) * hd] = out.astype(cdt)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, db_ref, *, num_heads: int,
-                rt_per_window: int, coord_range: int, use_rpe: bool,
+                pack: int, coord_range: int, use_rpe: bool,
                 fuse_dtab: bool):
     """Backward tile. With ``fuse_dtab`` the RPE table gradient is
     reduced IN-KERNEL to the per-axis pair matrix db_ref (3, P, H*P)
     f32, grid-accumulated — instead of spilling the full per-pair
-    cotangent dbias (H, BW, K, K) to HBM and reducing it in XLA
+    cotangent dbias (H, BW, Tp, Tp) to HBM and reducing it in XLA
     (VERDICT r3 #3: that spill was ~52-104 MB per layer per microbatch
     and a large share of step bytes). The reference's CUDA weight-grad
     kernel does its reduction on-device in shared memory the same way
     (/root/reference/libs/dwconv/csrc/dwconv.cu:44-72).
     """
-    WT, T, C = q_ref.shape
+    WT, Tp, C = q_ref.shape
     H = num_heads
     hd = C // H
-    G = rt_per_window
-    K = T - G
     P = coord_range
     cdt = q_ref.dtype
     scale = hd ** -0.5
+    rvalid = (mask_ref[:] > 0).astype(jnp.float32)
     mask_add = jnp.where(mask_ref[:] > 0, 0.0, MASK_VALUE)[:, None, :]
+    blockmask = _pack_mask(Tp, pack)
     if use_rpe:
-        us, vs = _axis_tensors(xyz_ref, delta_ref, P, K, cdt)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp, cdt)
         if fuse_dtab:
             @pl.when(pl.program_id(0) == 0)
             def _():
@@ -160,51 +192,50 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
     for h in range(H):
         logits = _head_logits(q_ref, k_ref, h, hd, scale)
         if use_rpe:
-            bh = _head_bias(us, vs, h, P)
-            if G > 0:
-                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
-            logits = logits + bh
-        attn = jax.nn.softmax(logits + mask_add, axis=-1)    # fp32
+            logits = logits + _head_bias(us, vs, h, P)
+        attn = _masked_attn(logits, mask_add, blockmask, rvalid)  # fp32
         gh = g_ref[:, :, h * hd:(h + 1) * hd]
         vh = v_ref[:, :, h * hd:(h + 1) * hd]
         attn_c = attn.astype(cdt)
         # dv[s] = sum_t attn[t, s] * g[t]    (contract t, batch WT)
         dv = jax.lax.dot_general(
             attn_c, gh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (WT, T, hd)
+            preferred_element_type=jnp.float32)              # (WT, Tp, hd)
         dv_ref[:, :, h * hd:(h + 1) * hd] = dv.astype(cdt)
         # dattn[t, s] = g[t] . v[s]          (contract hd)
         dattn = jax.lax.dot_general(
             gh, vh, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dlog = attn * (dattn - jnp.sum(dattn * attn, axis=-1,
-                                       keepdims=True))       # (WT, T, T)
+                                       keepdims=True))       # (WT, Tp, Tp)
         dl_c = dlog.astype(cdt)
         qh = q_ref[:, :, h * hd:(h + 1) * hd]
         kh = k_ref[:, :, h * hd:(h + 1) * hd]
         dq = jax.lax.dot_general(
             dl_c, kh, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (WT, T, hd)
+            preferred_element_type=jnp.float32)              # (WT, Tp, hd)
         dq_ref[:, :, h * hd:(h + 1) * hd] = (dq * scale).astype(cdt)
         # dk[s] = scale * sum_t dlogits[t, s] * q[t]  (contract t)
         dk = jax.lax.dot_general(
             dl_c, qh, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (WT, T, hd)
+            preferred_element_type=jnp.float32)              # (WT, Tp, hd)
         dk_ref[:, :, h * hd:(h + 1) * hd] = (dk * scale).astype(cdt)
         if use_rpe and not fuse_dtab:
-            db_ref[h] = dl_c[:, G:, G:]                      # (WT, K, K)
+            db_ref[h] = dl_c                                 # (WT, Tp, Tp)
         elif use_rpe:
             # In-kernel P-decomposition of the table grad: per axis a,
             # m_a[p, q] = sum_{w,t,s} U_a[w,t,p] dlog[w,t,s] U_a[w,s,q]
             # — two MXU contractions; the (P, P) result is tiny.
-            dlK = dl_c[:, G:, G:]                            # (WT, K, K)
+            # Sentinel rows have U = 0, and cross-window dlog entries
+            # are exactly 0 (block mask -> attn 0), so no spurious
+            # contributions.
             for a in range(3):
                 c1 = jax.lax.dot_general(
-                    dlK, us[a], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)      # (WT, K, P)
+                    dl_c, us[a], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # (WT, Tp, P)
                 # m[p, q] = sum_{w,t} U[w,t,p] c1[w,t,q]: batch-w
                 # contraction over t (the chip-proven _head_bias form;
-                # a (WT*K, P) flattening is an unsupported Mosaic
+                # a (WT*Tp, P) flattening is an unsupported Mosaic
                 # shape cast), then a VPU sum over w.
                 mw = jax.lax.dot_general(
                     us[a], c1.astype(cdt), (((1,), (1,)), ((0,), (0,))),
@@ -216,74 +247,71 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
         db_ref[:] = db_ref[:] + dm
 
 
-def _specs3(WT, T, C, K, delta_shape):
-    tile3 = pl.BlockSpec((WT, T, C), lambda i: (i, 0, 0),
+def _specs3(WT, Tp, C, delta_shape):
+    tile3 = pl.BlockSpec((WT, Tp, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return [
         tile3, tile3, tile3,
-        pl.BlockSpec((WT, 3, K), lambda i: (i, 0, 0),
+        pl.BlockSpec((WT, 3, Tp), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((WT, T), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((WT, Tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(delta_shape, lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),
     ], tile3
 
 
-def _call_fwd(q, k, v, xyz, mask, delta, num_heads, rt_per_window,
+def _call_fwd(q, k, v, xyz, mask, delta, num_heads, pack,
               coord_range, use_rpe, window_tile, interpret):
-    BW, T, C = q.shape
+    BW, Tp, C = q.shape
     WT = window_tile
     assert BW % WT == 0, (BW, WT)
-    K = T - rt_per_window
     kern = functools.partial(_fwd_kernel, num_heads=num_heads,
-                             rt_per_window=rt_per_window,
-                             coord_range=coord_range, use_rpe=use_rpe)
-    in_specs, tile3 = _specs3(WT, T, C, K, delta.shape)
+                             pack=pack, coord_range=coord_range,
+                             use_rpe=use_rpe)
+    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape)
     return pl.pallas_call(
         kern,
         grid=(BW // WT,),
         in_specs=in_specs,
         out_specs=tile3,
-        out_shape=jax.ShapeDtypeStruct((BW, T, C), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((BW, Tp, C), q.dtype),
         interpret=interpret,
     )(q, k, v, xyz, mask, delta)
 
 
 # In-kernel RPE table-grad reduction (VERDICT r3 #3). When False the
-# backward spills the full (H, BW, K, K) per-pair cotangent to HBM and
+# backward spills the full (H, BW, Tp, Tp) per-pair cotangent to HBM and
 # reduces it in XLA (_dtab_from_dbias) — kept as a fallback / A/B path.
 FUSE_DTAB = True
 
 
-def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, rt_per_window,
+def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, pack,
               coord_range, use_rpe, window_tile, interpret):
-    BW, T, C = q.shape
+    BW, Tp, C = q.shape
     WT = window_tile
     H = num_heads
-    K = T - rt_per_window
     P = coord_range
     fuse = FUSE_DTAB and use_rpe
     kern = functools.partial(_bwd_kernel, num_heads=num_heads,
-                             rt_per_window=rt_per_window,
-                             coord_range=coord_range, use_rpe=use_rpe,
-                             fuse_dtab=fuse)
-    in_specs, tile3 = _specs3(WT, T, C, K, delta.shape)
+                             pack=pack, coord_range=coord_range,
+                             use_rpe=use_rpe, fuse_dtab=fuse)
+    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape)
     if fuse:
         db_spec = pl.BlockSpec((3, P, H * P), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
         db_shape = jax.ShapeDtypeStruct((3, P, H * P), jnp.float32)
     else:
-        db_spec = pl.BlockSpec((H, WT, K, K), lambda i: (0, i, 0, 0),
+        db_spec = pl.BlockSpec((H, WT, Tp, Tp), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM)
-        db_shape = jax.ShapeDtypeStruct((H, BW, K, K), q.dtype)
+        db_shape = jax.ShapeDtypeStruct((H, BW, Tp, Tp), q.dtype)
     dq, dk, dv, dbias = pl.pallas_call(
         kern,
         grid=(BW // WT,),
         in_specs=in_specs + [tile3],
         out_specs=[tile3, tile3, tile3, db_spec],
-        out_shape=[jax.ShapeDtypeStruct((BW, T, C), q.dtype),
-                   jax.ShapeDtypeStruct((BW, T, C), q.dtype),
-                   jax.ShapeDtypeStruct((BW, T, C), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((BW, Tp, C), q.dtype),
+                   jax.ShapeDtypeStruct((BW, Tp, C), q.dtype),
+                   jax.ShapeDtypeStruct((BW, Tp, C), q.dtype),
                    db_shape],
         interpret=interpret,
     )(q, k, v, xyz, mask, delta, g)
@@ -291,13 +319,14 @@ def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, rt_per_window,
 
 
 def _dtab_from_dbias(dbias, xyz, pos_bnd: int, coord_range: int):
-    """Scatter-free RPE table gradient at the XLA level.
+    """Scatter-free RPE table gradient at the XLA level (fallback path).
 
-    dbias: (H, BW, K, K) per-pair bias cotangent from the bwd kernel;
-    xyz: (BW, 3, K) int32 axis-plane coords. Same P-decomposition as
-    ops/rpe.py:_rpe_bwd — per-axis coordinate one-hots U contract dbias
-    down to (H, P, P), then the constant Toeplitz fold maps to table
-    rows. Three einsums per axis, no scatter. Returns (3*num, H) fp32.
+    dbias: (H, BW, Tp, Tp) per-pair bias cotangent from the bwd kernel;
+    xyz: (BW, 3, Tp) int32 axis-plane coords (sentinel -1 rows drop out
+    of the one-hot). Same P-decomposition as ops/rpe.py:_rpe_bwd —
+    per-axis coordinate one-hots U contract dbias down to (H, P, P),
+    then the constant Toeplitz fold maps to table rows. Three einsums
+    per axis, no scatter. Returns (3*num, H) fp32.
     """
     P = int(coord_range)
     num = 2 * pos_bnd + 1
@@ -306,7 +335,7 @@ def _dtab_from_dbias(dbias, xyz, pos_bnd: int, coord_range: int):
     fold = jax.nn.one_hot(diff, num, dtype=jnp.float32)      # (P, P, num)
     parts = []
     for a in range(3):
-        u = jax.nn.one_hot(xyz[:, a, :], P, dtype=dbias.dtype)  # (BW,K,P)
+        u = jax.nn.one_hot(xyz[:, a, :], P, dtype=dbias.dtype)  # (BW,Tp,P)
         c1 = jnp.einsum("hbts,bsq->hbtq", dbias, u,
                         preferred_element_type=jnp.float32)
         m = jnp.einsum("btp,hbtq->hpq", u.astype(jnp.float32), c1,
@@ -346,7 +375,7 @@ def _head_blocks(C: int, H: int) -> int:
     return nb
 
 
-def _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+def _fwd_impl(q, k, v, xyz, mask, table, num_heads, pack,
               pos_bnd, use_rpe, window_tile, interpret, coord_range):
     C = q.shape[-1]
     nb = _head_blocks(C, num_heads)
@@ -359,32 +388,34 @@ def _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
         delta = (_delta_tables(tab_i, pos_bnd, coord_range, q.dtype)
                  if use_rpe else jnp.zeros((3, 1, cb), q.dtype))
         outs.append(_call_fwd(q[:, :, sl], k[:, :, sl], v[:, :, sl], xyz,
-                              mask, delta, hb, rt_per_window, cr, use_rpe,
+                              mask, delta, hb, pack, cr, use_rpe,
                               window_tile, interpret))
     return outs[0] if nb == 1 else jnp.concatenate(outs, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def fused_window_attention(q, k, v, xyz, mask, table, num_heads: int,
-                           rt_per_window: int, pos_bnd: int, use_rpe: bool,
+                           pack: int, pos_bnd: int, use_rpe: bool,
                            window_tile: int = 8, interpret: bool = False,
                            coord_range: int = 128):
-    """q/k/v: (BW, T, C); xyz: (BW, 3, K) int32 axis-plane coords;
-    mask: (BW, T) int32; table: (3*(2*pos_bnd+1), H) fp32.
+    """q/k/v: (BW, Tp, C) with ``pack`` windows of T = Tp/pack tokens
+    fused per row block; xyz: (BW, 3, Tp) int32 axis-plane coords with
+    SENTINEL -1 at relay/padding slots (zero one-hot row -> zero bias);
+    mask: (BW, Tp) int32; table: (3*(2*pos_bnd+1), H) fp32.
     coord_range statically bounds the coords (2^depth). Returns
-    (BW, T, C)."""
-    return _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+    (BW, Tp, C). Invalid-query rows return exactly 0."""
+    return _fwd_impl(q, k, v, xyz, mask, table, num_heads, pack,
                      pos_bnd, use_rpe, window_tile, interpret, coord_range)
 
 
-def _fwd_rule(q, k, v, xyz, mask, table, num_heads, rt_per_window, pos_bnd,
+def _fwd_rule(q, k, v, xyz, mask, table, num_heads, pack, pos_bnd,
               use_rpe, window_tile, interpret, coord_range):
-    out = _fwd_impl(q, k, v, xyz, mask, table, num_heads, rt_per_window,
+    out = _fwd_impl(q, k, v, xyz, mask, table, num_heads, pack,
                     pos_bnd, use_rpe, window_tile, interpret, coord_range)
     return out, (q, k, v, xyz, mask, table)
 
 
-def _bwd_rule(num_heads, rt_per_window, pos_bnd, use_rpe, window_tile,
+def _bwd_rule(num_heads, pack, pos_bnd, use_rpe, window_tile,
               interpret, coord_range, res, g):
     q, k, v, xyz, mask, table = res
     C = q.shape[-1]
@@ -399,7 +430,7 @@ def _bwd_rule(num_heads, rt_per_window, pos_bnd, use_rpe, window_tile,
                  if use_rpe else jnp.zeros((3, 1, cb), q.dtype))
         dq, dk, dv, dbias = _call_bwd(
             q[:, :, sl], k[:, :, sl], v[:, :, sl], xyz, mask, delta,
-            g[:, :, sl], hb, rt_per_window, cr, use_rpe, window_tile,
+            g[:, :, sl], hb, pack, cr, use_rpe, window_tile,
             interpret)
         dqs.append(dq)
         dks.append(dk)

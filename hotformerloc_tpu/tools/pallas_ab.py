@@ -41,7 +41,10 @@ def _time(fn, *args, iters: int = 30) -> float:
 
 def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
                dilation: int, depth: int = 7, iters: int = 30,
-               tiles=(8,), seed: int = 0):
+               combos=((16, 1), (8, 2), (16, 2)), seed: int = 0):
+    """combos: (window_tile, pack) pairs for the Pallas path; pack
+    fuses that many windows per kernel row block (r5 packing —
+    ops/pallas/window_attn.py)."""
     from hotformerloc_tpu.models.attention import WindowAttention
 
     T = K + G
@@ -67,15 +70,18 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
 
     results = {}
     ref_out = None
-    for mode, wt in [("xla", None)] + [("pallas", t) for t in tiles]:
-        if wt is not None and BW % wt != 0:
+    for mode, wt, pk in ([("xla", None, None)]
+                         + [("pallas", t, p) for t, p in combos]):
+        if wt is not None and (BW % (wt * pk) != 0
+                               or pk * T > 128):
             continue
-        key = f"{mode}_wt{wt}" if wt else mode
+        key = f"{mode}_wt{wt}_p{pk}" if wt else mode
         mod = WindowAttention(C, H, K, dilation, G, True, 0.0, 0.0, True,
                               use_pallas=(mode == "pallas"),
                               coord_range=2 ** depth,
                               dtype=jnp.bfloat16)
         attn_mod._FORCED_WINDOW_TILE = wt
+        attn_mod._FORCED_PACK = pk
 
         fwd = jax.jit(lambda p, x_: mod.apply(p, x_, key_mask, xyz))
 
@@ -104,14 +110,20 @@ def bench_case(name: str, BW: int, K: int, G: int, C: int, H: int,
         except Exception as e:                        # Mosaic rejection etc.
             results[key] = {"error": str(e)[:300]}
             attn_mod._FORCED_WINDOW_TILE = None
+            attn_mod._FORCED_PACK = None
             continue
         finally:
             attn_mod._FORCED_WINDOW_TILE = None
+            attn_mod._FORCED_PACK = None
         if ref_out is None:
             ref_out = out
             maxdiff = 0.0
         else:
-            maxdiff = float(np.abs(out - ref_out).max())
+            # valid query rows only: the packed kernel zeroes
+            # invalid-row outputs exactly, the XLA path leaves them
+            # as (masked-downstream) garbage
+            vm = np.asarray(valid)[..., None]
+            maxdiff = float((np.abs(out - ref_out) * vm).max())
         results[key] = {"fwd_ms": round(fwd_ms, 4),
                         "fwd_bwd_ms": round(bwd_ms, 4),
                         "maxdiff_vs_xla": round(maxdiff, 6)}

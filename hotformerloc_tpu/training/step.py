@@ -192,6 +192,7 @@ def make_train_step(model, tx, loss_fn: Callable,
                                   batch["negatives_mask"])
             stats = dict(stats)
             stats["octree_overflow"] = out["octree_overflow"]
+            stats["band_overflow"] = out["band_overflow"]
             if cfg.mesa > 0.0 and state.ema_params is not None:
                 t_out, _ = _apply(model, state.ema_params,
                                   state.model_state, pts, msk, None, False)
@@ -230,12 +231,13 @@ def make_train_step(model, tx, loss_fn: Callable,
         def fwd(params, p, m, i, plan):
             out, new_state = _apply(model, params, state.model_state, p, m,
                                     mb_rngs(rng, i), True, plan=plan)
-            return out["global"], (new_state, out["octree_overflow"])
+            return out["global"], (new_state, out["octree_overflow"],
+                                   out["band_overflow"])
 
         # Stage 1 — embeddings without parameter gradients.
         def s1(carry, xs):
             p, m, i, plan = xs
-            emb, (new_state, ovf) = fwd(state.params, p, m, i, plan)
+            emb, (new_state, ovf, bovf) = fwd(state.params, p, m, i, plan)
             if cfg.mesa > 0.0 and state.ema_params is not None:
                 t_out, _ = _apply(model, state.ema_params,
                                   state.model_state, p, m, None, False,
@@ -243,9 +245,9 @@ def make_train_step(model, tx, loss_fn: Callable,
                 t_emb = t_out["global"]
             else:
                 t_emb = jnp.zeros_like(emb)
-            return new_state, (emb, t_emb, ovf)
+            return new_state, (emb, t_emb, ovf, bovf)
 
-        new_state, (embs, t_embs, ovfs) = jax.lax.scan(
+        new_state, (embs, t_embs, ovfs, bovfs) = jax.lax.scan(
             s1, state.model_state, (pts_s, msk_s, idx, plans),
             unroll=min(cfg.unroll, A))
         embs = embs.reshape(B, -1)
@@ -262,6 +264,7 @@ def make_train_step(model, tx, loss_fn: Callable,
             loss_of_emb, has_aux=True)(embs)
         stats = dict(stats)
         stats["octree_overflow"] = jnp.sum(ovfs)
+        stats["band_overflow"] = jnp.sum(bovfs)
         g_emb = g_emb.reshape(A, mb, -1)
 
         # Stage 3 — recompute per microbatch, chain-rule into params.

@@ -1,6 +1,7 @@
 """Fused window-attention Pallas kernel: interpret-mode differential
 tests against the plain XLA formulation (same math as
-models/attention.WindowAttention)."""
+models/attention.WindowAttention), including the packed-windows layout
+(pack > 1: block-diagonal mask, sentinel coords)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,7 +13,6 @@ from hotformerloc_tpu.ops.pallas.window_attn import fused_window_attention
 def xla_reference(q, k, v, xyz, mask, table, H, G, pos_bnd, use_rpe):
     BW, T, C = q.shape
     hd = C // H
-    K = T - G
     qh = q.reshape(BW, T, H, hd)
     kh = k.reshape(BW, T, H, hd)
     vh = v.reshape(BW, T, H, hd)
@@ -47,39 +47,77 @@ def make_inputs(rng, BW=8, T=17, C=32, K=16, pos_bnd=12, H=4):
     return tuple(jnp.asarray(x) for x in (q, k, v, xyz, mask, table))
 
 
+def full_xyz(xyz, G):
+    """(BW, 3, K) coords -> (BW, 3, T) with sentinel -1 relay slots."""
+    BW = xyz.shape[0]
+    if G == 0:
+        return xyz
+    sent = jnp.full((BW, 3, G), -1, jnp.int32)
+    return jnp.concatenate([sent, xyz], axis=2)
+
+
+def pack_args(pack, *arrs):
+    """Fold ``pack`` consecutive windows into one row block.
+    3D (BW, T, C) and mask (BW, T) reshape directly; xyz (BW, 3, T)
+    needs the axis swap the model caller does."""
+    out = []
+    for a in arrs:
+        BW = a.shape[0]
+        if a.ndim == 3 and a.shape[1] == 3 and a.dtype == jnp.int32:
+            T = a.shape[2]
+            a = (a.reshape(BW // pack, pack, 3, T)
+                 .swapaxes(1, 2).reshape(BW // pack, 3, pack * T))
+        elif a.ndim == 3:
+            a = a.reshape(BW // pack, pack * a.shape[1], a.shape[2])
+        else:
+            a = a.reshape(BW // pack, pack * a.shape[1])
+        out.append(a)
+    return out
+
+
 class TestFusedAttention:
-    @pytest.mark.parametrize("use_rpe,G", [(True, 1), (True, 0),
-                                           (False, 1)])
-    def test_forward_matches_xla(self, use_rpe, G):
+    @pytest.mark.parametrize("use_rpe,G,pack",
+                             [(True, 1, 1), (True, 0, 1), (False, 1, 1),
+                              (True, 1, 2), (True, 0, 4), (False, 0, 2)])
+    def test_forward_matches_xla(self, use_rpe, G, pack):
         rng = np.random.default_rng(0)
         K, H, pos_bnd = 16, 4, 12
         T = K + G
         q, k, v, xyz, mask, table = make_inputs(rng, T=T, K=K,
                                                 pos_bnd=pos_bnd, H=H)
-        out = fused_window_attention(q, k, v, xyz, mask, table, H, G,
-                                     pos_bnd, use_rpe, 4, True)
+        xyz_f = full_xyz(xyz, G)
+        qp, kp, vp, xp, mp = pack_args(pack, q, k, v, xyz_f, mask)
+        out = fused_window_attention(qp, kp, vp, xp, mp, table, H, pack,
+                                     pos_bnd, use_rpe, 8 // pack, True)
+        out = out.reshape(8, T, 32)
         ref = xla_reference(q, k, v, xyz, mask, table, H, G, pos_bnd,
                             use_rpe)
         valid = np.asarray(mask) > 0
         np.testing.assert_allclose(np.asarray(out)[valid],
                                    np.asarray(ref)[valid],
                                    rtol=2e-4, atol=2e-5)
+        # invalid-query rows are exactly zeroed by the kernel
+        assert np.all(np.asarray(out)[~valid] == 0.0)
 
-    def test_backward_matches_xla(self):
+    @pytest.mark.parametrize("pack", [1, 2])
+    def test_backward_matches_xla(self, pack):
         rng = np.random.default_rng(1)
         K, G, H, pos_bnd = 16, 1, 4, 12
         T = K + G
         q, k, v, xyz, mask, table = make_inputs(rng, T=T, K=K,
                                                 pos_bnd=pos_bnd, H=H)
         cot = jnp.asarray(rng.standard_normal((8, T, 32)).astype(np.float32))
-        # zero cotangent on padded slots (their outputs are undefined-ish
-        # but equal here; keep comparison clean)
+        # zero cotangent on padded slots (the packed kernel zeroes those
+        # output rows, so nonzero cotangents there would differ by
+        # construction; the model's masked consumers guarantee this)
         cot = cot * jnp.asarray(mask)[:, :, None].astype(jnp.float32)
+        xyz_f = full_xyz(xyz, G)
 
         def f_fused(q, k, v, table):
+            qp, kp, vp, xp, mp = pack_args(pack, q, k, v, xyz_f, mask)
             return jnp.vdot(fused_window_attention(
-                q, k, v, xyz, mask, table, H, G, pos_bnd, True, 4, True),
-                cot)
+                qp, kp, vp, xp, mp, table, H, pack, pos_bnd, True,
+                8 // pack, True).reshape(8, T, 32), cot)
 
         def f_ref(q, k, v, table):
             return jnp.vdot(xla_reference(q, k, v, xyz, mask, table, H, G,
