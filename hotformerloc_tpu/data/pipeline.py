@@ -210,6 +210,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.worker_mode = worker_mode
         self.epoch = 0
+        self._pool = None       # persistent across epochs (see _get_pool)
 
     def _local_slice(self, batch_len: int) -> Optional[slice]:
         if self.process_count == 1:
@@ -259,6 +260,47 @@ class DataLoader:
                 break
             yield item
 
+    def _get_pool(self):
+        """The worker pool, created lazily ONCE and reused across
+        epochs. Round-4's per-epoch `with pool:` was the broken-scaling
+        culprit once the fork->spawn safety fix landed: spawn pays
+        seconds of interpreter+import startup per worker, and an epoch
+        is only a handful of batches — re-spawning every epoch made 4
+        workers 4x SLOWER than serial (docs/LOADER_BENCH.json history).
+        """
+        if self._pool is None:
+            if self.worker_mode == "process":
+                from concurrent.futures import ProcessPoolExecutor
+                import multiprocessing as mp
+                # 'spawn', not 'fork': forking after jax initialises
+                # its runtime threads is a documented deadlock risk.
+                # The dataset ships via initargs, so spawned workers
+                # need no inherited state.
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers, mp_context=mp.get_context("spawn"),
+                    initializer=_pool_init,
+                    initargs=(self.dataset, self.num_points))
+                self._submit = functools.partial(self._pool.submit,
+                                                 _pool_make)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.num_workers)
+                self._submit = functools.partial(self._pool.submit,
+                                                 self._make)
+        return self._pool
+
+    def close(self) -> None:
+        """Shut the persistent pool down (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _iter_pool(self, epoch: int, batches) -> Iterator[dict]:
         """Pool path: keep num_workers+prefetch batches in flight,
         yield strictly in order.
@@ -268,39 +310,23 @@ class DataLoader:
         'thread' keeps everything in-process (zero-copy results, the
         default). Both produce identical batches (seeding is
         order-independent)."""
-        if self.worker_mode == "process":
-            from concurrent.futures import ProcessPoolExecutor
-            import multiprocessing as mp
-            # 'spawn', not 'fork': forking after jax initialises its
-            # runtime threads is a documented deadlock risk (jax emits
-            # a RuntimeWarning). The dataset ships via initargs, so
-            # spawned workers need no inherited state.
-            pool = ProcessPoolExecutor(
-                self.num_workers, mp_context=mp.get_context("spawn"),
-                initializer=_pool_init,
-                initargs=(self.dataset, self.num_points))
-            submit = functools.partial(pool.submit, _pool_make)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = ThreadPoolExecutor(self.num_workers)
-            submit = functools.partial(pool.submit, self._make)
+        self._get_pool()
         window = self.num_workers + max(self.prefetch, 1)
-        with pool:
-            pending = {}
-            nxt = 0
-            for bi, labels in enumerate(batches):
-                if self.worker_mode == "process":
-                    pending[bi] = submit(
-                        labels, (self.seed + epoch, bi),
-                        self._local_slice(len(labels)))
-                else:
-                    pending[bi] = submit(epoch, bi, labels)
-                while len(pending) >= window:
-                    yield pending.pop(nxt).result()
-                    nxt += 1
-            while pending:
+        pending = {}
+        nxt = 0
+        for bi, labels in enumerate(batches):
+            if self.worker_mode == "process":
+                pending[bi] = self._submit(
+                    labels, (self.seed + epoch, bi),
+                    self._local_slice(len(labels)))
+            else:
+                pending[bi] = self._submit(epoch, bi, labels)
+            while len(pending) >= window:
                 yield pending.pop(nxt).result()
                 nxt += 1
+        while pending:
+            yield pending.pop(nxt).result()
+            nxt += 1
 
     def __len__(self):
         return len(self._epoch_batches())

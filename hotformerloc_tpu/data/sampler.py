@@ -89,13 +89,18 @@ def masks_for_batch(queries: Dict[int, object],
                     labels: List[int]) -> tuple[np.ndarray, np.ndarray]:
     """(B, B) positives / negatives boolean masks for a batch of query
     ids (collate logic, datasets/dataset_utils.py:119-123)."""
-    from hotformerloc_tpu.data.tuples import in_sorted_array
     B = len(labels)
     pos = np.zeros((B, B), dtype=bool)
     neg = np.zeros((B, B), dtype=bool)
+    arr = np.asarray(labels)
+    # vectorised per row (positives/non_negatives are sorted arrays):
+    # the B^2 python loop was ~5-10% of batch assembly time
     for i, a in enumerate(labels):
         q = queries[a]
-        for j, b in enumerate(labels):
-            pos[i, j] = in_sorted_array(b, q.positives)
-            neg[i, j] = not in_sorted_array(b, q.non_negatives)
+        if len(q.positives):
+            pos[i] = np.isin(arr, q.positives)
+        if len(q.non_negatives):
+            neg[i] = ~np.isin(arr, q.non_negatives)
+        else:
+            neg[i] = True
     return pos, neg

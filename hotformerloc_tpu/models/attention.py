@@ -53,15 +53,17 @@ _FORCED_PACK: Optional[int] = None
 
 def _pick_pack(bw: int, T: int) -> int:
     """Windows fused per kernel row block (ops/pallas/window_attn.py):
-    pack*T tokens share one row block, so every per-head T x T dot
-    becomes a pack*T x pack*T dot — ~pack-fold fewer MXU passes while
-    pack*T <= 128 keeps each dot a single tile. On-chip A/B
-    (docs/PALLAS_AB_r5.json): pack=2 wins at both production shapes."""
+    pack*T tokens share one row block with a block-diagonal mask.
+    On-chip A/B (docs/PALLAS_AB_r5.json): pack=2/wt8 is a WASH vs the
+    proven pack=1/wt16 (hosa fwd+bwd 7.31 vs 7.42 ms, octf 3.20 vs
+    3.07), and pack=2/wt16 crashes Mosaic (same rows/tile as the wt32
+    crash) — Mosaic already pipelines batched small dots well, and the
+    kernel's FLOPs are dominated by the RPE bias expand, which packing
+    does not shrink. Default stays 1; the packed path is kept
+    (interpret-tested) for shapes where a larger row block is the only
+    way to reach 8-row sublane alignment."""
     if _FORCED_PACK is not None and bw % _FORCED_PACK == 0:
         return _FORCED_PACK
-    for p in (8, 4, 2):
-        if p * T <= 128 and bw % p == 0:
-            return p
     return 1
 
 
@@ -72,7 +74,7 @@ def _pick_window_tile(bw: int, limit: int = 8) -> Optional[int]:
     if _FORCED_WINDOW_TILE is not None and bw % _FORCED_WINDOW_TILE == 0:
         return _FORCED_WINDOW_TILE
     # wt=16 used to crash the remote Mosaic backend at the hosa shape
-    # (tools/probe_attn_kernel3.py); after the fused-dtab backward
+    # (tools/mosaic_probe.py attn); after the fused-dtab backward
     # restructure it compiles and is 10-15% faster than 8
     # (docs/PALLAS_AB_r4.json). wt=32 still crashes Mosaic.
     if bw % 16 == 0:

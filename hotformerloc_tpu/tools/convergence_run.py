@@ -22,7 +22,16 @@ import argparse
 import json
 import os
 
-FLAGSHIP_MODEL_CFG = """[MODEL]
+def model_cfg(exact: bool) -> str:
+    """Model INI. ``exact`` = the PRODUCTION Oxford recipe (octree
+    depth 9, 4096 points, occupancy-tuned capacities — VERDICT r4 #4:
+    drive the depth-8/9 band tables, stem path and production
+    capacities through a real optimisation loop); otherwise the r4
+    reduced-shape variant (depth 7, 1024 points) for quick wall-clock.
+    """
+    caps = ("2688,4224,4224,4224,4096,4096" if exact
+            else "192,384,576,1152,1024,1024")
+    return f"""[MODEL]
 model = HOTFormerLoc
 coordinates = cartesian
 channels = 128,256
@@ -45,7 +54,7 @@ normalize_embeddings = True
 input_features = P
 conv_norm = layernorm
 grad_checkpoint = True
-capacities = 192,384,576,1152,1024,1024
+capacities = {caps}
 """
 
 
@@ -57,10 +66,29 @@ def main():
     ap.add_argument("--num_points", type=int, default=1024)
     ap.add_argument("--train_variants", type=int, default=4)
     ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--batch_split_size", type=int, default=0,
+                    help="microbatch size (0 = single pass)")
     ap.add_argument("--eval_freq", type=int, default=10)
     ap.add_argument("--lr", type=float, default=7e-4)
     ap.add_argument("--json_out", default="docs/CONVERGENCE.json")
+    ap.add_argument("--exact", action="store_true",
+                    help="flagship-EXACT shapes: octree depth 9, 4096 "
+                         "points, production Oxford capacities; "
+                         "implies --num_points 4096 and microbatch 8 "
+                         "unless overridden")
+    ap.add_argument("--run_name", default=None)
     args = ap.parse_args()
+    if args.exact:
+        if args.num_points == 1024:
+            args.num_points = 4096
+        if args.batch_split_size == 0:
+            # B=32 single-pass OOMs the 16G v5e (bench.py); production
+            # multistage microbatch
+            args.batch_split_size = 8
+        if args.json_out == "docs/CONVERGENCE.json":
+            args.json_out = "docs/CONVERGENCE_flagship.json"
+    run_name = args.run_name or ("ConvergenceFlagship" if args.exact
+                                 else "ConvergenceRun")
 
     from hotformerloc_tpu.tools.synthetic_benchmark import generate
     out = args.out
@@ -70,11 +98,14 @@ def main():
                         train_variants=args.train_variants)
         print("generated:", info, flush=True)
 
-    # flagship-shaped model config (octree_depth 7 / stem 2 / pyramid 3
-    # -> transformer depths 5..3, min_depth 2; capacities multiples of
-    # patch*dilation=192 and band_tile 64)
+    # flagship model config: --exact = production depth 9 (stem 2 /
+    # pyramid 3 -> transformer depths 7..4, min_depth 4, the real
+    # Oxford recipe); default = depth 7 reduced shapes
+    depth = 9 if args.exact else 7
+    split = (f"batch_split_size = {args.batch_split_size}\n"
+             if args.batch_split_size else "")
     with open(os.path.join(out, "model_flagship.txt"), "w") as f:
-        f.write(FLAGSHIP_MODEL_CFG)
+        f.write(model_cfg(args.exact))
     with open(os.path.join(out, "train_flagship.txt"), "w") as f:
         f.write(f"""[DEFAULT]
 dataset_folder = {out}
@@ -85,7 +116,7 @@ train_file = train_tuples.pickle
 validation = False
 num_workers = 4
 batch_size = {args.batch}
-val_batch_size = {args.batch}
+{split}val_batch_size = {args.batch}
 lr = {args.lr}
 epochs = {args.epochs}
 warmup_epochs = 5
@@ -97,7 +128,7 @@ tau1 = 0.01
 positives_per_query = 3
 aug_mode = 1
 set_aug_mode = 1
-octree_depth = 7
+octree_depth = {depth}
 eval_freq = {args.eval_freq}
 save_freq = 0
 """)
@@ -112,11 +143,11 @@ save_freq = 0
         os.path.join(out, "model_flagship.txt"),
         num_points=args.num_points)
     trainer = Trainer(params, weights_dir="weights",
-                      model_name="ConvergenceRun")
+                      model_name=run_name)
     trainer.train(seed=42)
 
-    # Collate the JSONL trajectory into docs/CONVERGENCE.json
-    logf = os.path.join(trainer.weights_dir, "ConvergenceRun_log.jsonl")
+    # Collate the JSONL trajectory into the summary json
+    logf = os.path.join(trainer.weights_dir, f"{run_name}_log.jsonl")
     losses, evals = [], []
     with open(logf) as f:
         for line in f:
@@ -131,8 +162,12 @@ save_freq = 0
                 evals.append({"epoch": r["epoch"],
                               "avg_AR1": round(r["avg_AR1"], 2)})
     summary = {
-        "config": "flagship-shaped (128/256ch, 4+10 blocks, patch 48, "
-                  f"3 pyramid levels, {args.num_points} pts, depth 7)",
+        "config": ("flagship-EXACT (128/256ch, 4+10 blocks, patch 48, "
+                   "3 pyramid levels, 4096 pts, octree depth 9, "
+                   "production capacities, microbatch "
+                   f"{args.batch_split_size})" if args.exact else
+                   "flagship-shaped (128/256ch, 4+10 blocks, patch 48, "
+                   f"3 pyramid levels, {args.num_points} pts, depth 7)"),
         "dataset": f"synthetic benchmark, {args.places_per_loc * 4} "
                    f"places x {args.train_variants} train variants",
         "epochs": args.epochs,
