@@ -39,7 +39,7 @@ import numpy as np
 # ends the timed loop with an np.asarray() fetch of the scalar loss,
 # which provably waits (MFU stays < 1), and the bar below is re-based
 # to the first honest measurement (2026-08-19, this file at iters=30).
-BENCH_BASELINE_SUBMAPS_S = 10.88  # round-4 best (hoisted dense voxel index)
+BENCH_BASELINE_SUBMAPS_S = 11.95  # round-5: selective remat (save_hot)
 
 # Peak dense matmul throughput per chip (bf16), for MFU accounting.
 # Sources: public TPU spec sheets; "How to Scale Your Model" ch. 2.

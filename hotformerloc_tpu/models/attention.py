@@ -148,10 +148,12 @@ class WindowAttention(nn.Module):
             v = qkv_f[:, :, 2]
             if use_rpe:
                 xyz_p = jnp.moveaxis(xyz_w, 3, 2).reshape(B * W, 3, K)
-                if G > 0:
-                    # relay slots carry the sentinel coord -1: their
-                    # one-hot rows are zero, so their RPE bias rows/cols
-                    # vanish exactly (replaces the old in-kernel G-pad).
+                if G > 0 and pack > 1:
+                    # sentinel layout (pack > 1 only): relay slots carry
+                    # coord -1 -> zero one-hot row -> zero bias row/col.
+                    # For pack == 1 the kernel G-pads the (K, K) bias
+                    # instead — T = K + G rows with P < 128 lanes is a
+                    # Mosaic-rejected layout (window_attn.py docstring).
                     sent = jnp.full((B * W, 3, G), -1, jnp.int32)
                     xyz_p = jnp.concatenate([sent, xyz_p], axis=2)
                 tab = table.astype(jnp.float32)

@@ -20,8 +20,19 @@ becomes a pack*T x pack*T dot, cutting the MXU pass count ~pack-fold
 for ~pack-fold wasted lanes that were already padding. Relay slots and
 packing are handled uniformly via SENTINEL COORDS: xyz covers all T
 slots per window, relay/padding slots carry coordinate -1 whose one-hot
-row is zero, so their RPE bias rows/cols vanish exactly (replacing the
-old G-pad logic).
+row is zero, so their RPE bias rows/cols vanish exactly.
+
+Layout rule (round-5 chip regression, BENCH r5 first run): the one-hot
+row count is whatever the xyz operand's last dim is, and Mosaic only
+accepts the (WT, rows, P) -> (WT*rows, P) collapse behind these dots
+when ``rows`` is sublane-aligned (multiple of 8) OR P is a full 128
+lanes. T = K + G = 49 sentinel rows with P = 2^depth < 128 (depths 4-6
+of the flagship config) is rejected ("unsupported shape cast",
+vector<16x49x16xbf16> -> vector<784x16xbf16>). So for pack == 1 callers
+pass xyz WITHOUT relay columns — (BW, 3, K) with K 8-aligned, the
+chip-proven r4 form — and the kernel pads the (K, K) bias by the
+inferred G = Tp - K. The sentinel form (xyz covering all Tp slots) is
+for pack > 1, where the row block is a multiple of T anyway.
 
 RPE formulation (chosen after on-chip compiler probes —
 tools/mosaic_probe.py): the per-axis bias is
@@ -142,16 +153,23 @@ def _fwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, o_ref,
     P = coord_range
     cdt = q_ref.dtype
     scale = hd ** -0.5
+    # G > 0: xyz covers only the K = Tp - G node slots (8-aligned rows,
+    # see module docstring); the bias is zero-padded over the G leading
+    # relay slots as in the reference (octformer_backbone.py:87-94).
+    G = Tp - xyz_ref.shape[2]
     rvalid = (mask_ref[:] > 0).astype(jnp.float32)           # (WT, Tp)
     mask_add = jnp.where(mask_ref[:] > 0, 0.0,
                          MASK_VALUE)[:, None, :]             # (WT, 1, Tp)
     blockmask = _pack_mask(Tp, pack)
     if use_rpe:
-        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp, cdt)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp - G, cdt)
     for h in range(H):
         logits = _head_logits(q_ref, k_ref, h, hd, scale)
         if use_rpe:
-            logits = logits + _head_bias(us, vs, h, P)
+            bh = _head_bias(us, vs, h, P)
+            if G > 0:
+                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
+            logits = logits + bh
         attn = _masked_attn(logits, mask_add, blockmask, rvalid).astype(cdt)
         vh = v_ref[:, :, h * hd:(h + 1) * hd]
         out = jax.lax.dot_general(
@@ -179,11 +197,12 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
     P = coord_range
     cdt = q_ref.dtype
     scale = hd ** -0.5
+    G = Tp - xyz_ref.shape[2]          # relay slots outside xyz (fwd rule)
     rvalid = (mask_ref[:] > 0).astype(jnp.float32)
     mask_add = jnp.where(mask_ref[:] > 0, 0.0, MASK_VALUE)[:, None, :]
     blockmask = _pack_mask(Tp, pack)
     if use_rpe:
-        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp, cdt)
+        us, vs = _axis_tensors(xyz_ref, delta_ref, P, Tp - G, cdt)
         if fuse_dtab:
             @pl.when(pl.program_id(0) == 0)
             def _():
@@ -192,7 +211,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
     for h in range(H):
         logits = _head_logits(q_ref, k_ref, h, hd, scale)
         if use_rpe:
-            logits = logits + _head_bias(us, vs, h, P)
+            bh = _head_bias(us, vs, h, P)
+            if G > 0:
+                bh = jnp.pad(bh, ((0, 0), (G, 0), (G, 0)))
+            logits = logits + bh
         attn = _masked_attn(logits, mask_add, blockmask, rvalid)  # fp32
         gh = g_ref[:, :, h * hd:(h + 1) * hd]
         vh = v_ref[:, :, h * hd:(h + 1) * hd]
@@ -228,11 +250,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
             # — two MXU contractions; the (P, P) result is tiny.
             # Sentinel rows have U = 0, and cross-window dlog entries
             # are exactly 0 (block mask -> attn 0), so no spurious
-            # contributions.
+            # contributions. With G > 0 the relay rows/cols carry no
+            # bias, so only the (K, K) node block contributes.
+            dlK = dl_c[:, G:, G:] if G > 0 else dl_c
             for a in range(3):
                 c1 = jax.lax.dot_general(
-                    dl_c, us[a], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)      # (WT, Tp, P)
+                    dlK, us[a], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)      # (WT, K, P)
                 # m[p, q] = sum_{w,t} U[w,t,p] c1[w,t,q]: batch-w
                 # contraction over t (the chip-proven _head_bias form;
                 # a (WT*Tp, P) flattening is an unsupported Mosaic
@@ -247,12 +271,14 @@ def _bwd_kernel(q_ref, k_ref, v_ref, xyz_ref, mask_ref, delta_ref, g_ref,
         db_ref[:] = db_ref[:] + dm
 
 
-def _specs3(WT, Tp, C, delta_shape):
+def _specs3(WT, Tp, C, delta_shape, Kx):
+    """Kx: xyz last dim — K node slots (pack==1, G relay slots padded
+    in-kernel) or the full Tp sentinel layout (pack>1)."""
     tile3 = pl.BlockSpec((WT, Tp, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     return [
         tile3, tile3, tile3,
-        pl.BlockSpec((WT, 3, Tp), lambda i: (i, 0, 0),
+        pl.BlockSpec((WT, 3, Kx), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((WT, Tp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(delta_shape, lambda i: (0, 0, 0),
@@ -268,7 +294,7 @@ def _call_fwd(q, k, v, xyz, mask, delta, num_heads, pack,
     kern = functools.partial(_fwd_kernel, num_heads=num_heads,
                              pack=pack, coord_range=coord_range,
                              use_rpe=use_rpe)
-    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape)
+    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape, xyz.shape[2])
     return pl.pallas_call(
         kern,
         grid=(BW // WT,),
@@ -295,7 +321,7 @@ def _call_bwd(q, k, v, xyz, mask, delta, g, num_heads, pack,
     kern = functools.partial(_bwd_kernel, num_heads=num_heads,
                              pack=pack, coord_range=coord_range,
                              use_rpe=use_rpe, fuse_dtab=fuse)
-    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape)
+    in_specs, tile3 = _specs3(WT, Tp, C, delta.shape, xyz.shape[2])
     if fuse:
         db_spec = pl.BlockSpec((3, P, H * P), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -399,8 +425,11 @@ def fused_window_attention(q, k, v, xyz, mask, table, num_heads: int,
                            window_tile: int = 8, interpret: bool = False,
                            coord_range: int = 128):
     """q/k/v: (BW, Tp, C) with ``pack`` windows of T = Tp/pack tokens
-    fused per row block; xyz: (BW, 3, Tp) int32 axis-plane coords with
-    SENTINEL -1 at relay/padding slots (zero one-hot row -> zero bias);
+    fused per row block; xyz: int32 axis-plane coords — (BW, 3, K) node
+    slots only for pack == 1 (K = Tp - G must be 8-aligned; the kernel
+    zero-pads the bias over the G leading relay slots), or the full
+    (BW, 3, Tp) sentinel layout for pack > 1 (-1 at relay/padding slots
+    -> zero one-hot row -> zero bias row/col);
     mask: (BW, Tp) int32; table: (3*(2*pos_bnd+1), H) fp32.
     coord_range statically bounds the coords (2^depth). Returns
     (BW, Tp, C). Invalid-query rows return exactly 0."""
@@ -438,7 +467,9 @@ def _bwd_rule(num_heads, pack, pos_bnd, use_rpe, window_tile,
         if use_rpe and FUSE_DTAB:
             dtabs.append(_dtab_from_dm(dbias, pos_bnd, coord_range))
         elif use_rpe:
-            dtabs.append(_dtab_from_dbias(dbias, xyz, pos_bnd, coord_range))
+            Gx = q.shape[1] - xyz.shape[2]   # relay slots outside xyz
+            db = dbias[:, :, Gx:, Gx:] if Gx > 0 else dbias
+            dtabs.append(_dtab_from_dbias(db, xyz, pos_bnd, coord_range))
     if nb == 1:
         dq, dk, dv = dqs[0], dks[0], dvs[0]
     else:

@@ -162,7 +162,7 @@ def attn_cases(bwd_too: bool = True):
         fused_window_attention
     BW, K_, BND = 704, 48, 38
 
-    def case(name, H_, C_, G_, pack=1, wt=8, bwd=False):
+    def case(name, H_, C_, G_, pack=1, wt=8, bwd=False, P=128):
         T_ = K_ + G_
         rng = np.random.default_rng(0)
         BWp = BW // pack
@@ -170,7 +170,11 @@ def attn_cases(bwd_too: bool = True):
         q = jnp.asarray(rng.normal(0, 1, (BWp, Tp, C_)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(0, 1, (BWp, Tp, C_)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(0, 1, (BWp, Tp, C_)), jnp.bfloat16)
-        xyz = jnp.asarray(rng.integers(0, 128, (BWp, 3, Tp)), jnp.int32)
+        # pack==1: node-only coords (kernel G-pads; the r5 full-Tp
+        # sentinel layout is Mosaic-rejected for P < 128 lanes);
+        # pack>1: full sentinel layout.
+        Kx = K_ if pack == 1 else Tp
+        xyz = jnp.asarray(rng.integers(0, P, (BWp, 3, Kx)), jnp.int32)
         mask = jnp.ones((BWp, Tp), jnp.int32)
         tab = jnp.asarray(rng.normal(0, 0.1, (3 * (2 * BND + 1), H_)),
                           jnp.float32)
@@ -179,12 +183,12 @@ def attn_cases(bwd_too: bool = True):
                 def loss(q, k, v, tab):
                     return jnp.sum(fused_window_attention(
                         q, k, v, xyz, mask, tab, H_, pack, BND, True, wt,
-                        False, 128).astype(jnp.float32) ** 2)
+                        False, P).astype(jnp.float32) ** 2)
                 out = jax.jit(jax.grad(loss, argnums=(0, 3)))(q, k, v, tab)
             else:
                 out = jax.jit(lambda q, k, v, tab: fused_window_attention(
                     q, k, v, xyz, mask, tab, H_, pack, BND, True, wt,
-                    False, 128))(q, k, v, tab)
+                    False, P))(q, k, v, tab)
             fetch_sync(jax.tree_util.tree_leaves(out)[0])
             print(json.dumps({"case": name, "ok": True}), flush=True)
             return True
@@ -196,11 +200,17 @@ def attn_cases(bwd_too: bool = True):
     case("base_H8_C128_G0", 8, 128, 0)
     case("H16_C256_G1", 16, 256, 1)
     case("H16_C256_G1_wt16", 16, 256, 1, wt=16)
+    # small coord ranges = the pyramid's lower depths (P = 2^depth).
+    # The r5 sentinel layout crashed exactly here (49 rows, 16 lanes).
+    case("H16_C256_G1_wt16_P16", 16, 256, 1, wt=16, P=16)
+    case("H16_C256_G1_wt16_P32", 16, 256, 1, wt=16, P=32)
     case("H16_C256_G1_p2_wt8", 16, 256, 1, pack=2, wt=8)
     case("H16_C256_G1_p2_wt16", 16, 256, 1, pack=2, wt=16)
     if bwd_too:
         case("bwd_H8_C128_G0", 8, 128, 0, bwd=True)
         case("bwd_H16_C256_G1", 16, 256, 1, bwd=True)
+        case("bwd_H16_C256_G1_wt16_P16", 16, 256, 1, wt=16, P=16,
+             bwd=True)
         case("bwd_H16_C256_G1_p2_wt8", 16, 256, 1, pack=2, wt=8, bwd=True)
 
 

@@ -85,7 +85,9 @@ class TestFusedAttention:
         T = K + G
         q, k, v, xyz, mask, table = make_inputs(rng, T=T, K=K,
                                                 pos_bnd=pos_bnd, H=H)
-        xyz_f = full_xyz(xyz, G)
+        # pack == 1 passes node-only coords (kernel G-pads the bias);
+        # pack > 1 uses the sentinel full-T layout (window_attn.py doc)
+        xyz_f = full_xyz(xyz, G) if pack > 1 else xyz
         qp, kp, vp, xp, mp = pack_args(pack, q, k, v, xyz_f, mask)
         out = fused_window_attention(qp, kp, vp, xp, mp, table, H, pack,
                                      pos_bnd, use_rpe, 8 // pack, True)
@@ -111,7 +113,7 @@ class TestFusedAttention:
         # output rows, so nonzero cotangents there would differ by
         # construction; the model's masked consumers guarantee this)
         cot = cot * jnp.asarray(mask)[:, :, None].astype(jnp.float32)
-        xyz_f = full_xyz(xyz, G)
+        xyz_f = full_xyz(xyz, G) if pack > 1 else xyz
 
         def f_fused(q, k, v, table):
             qp, kp, vp, xp, mp = pack_args(pack, q, k, v, xyz_f, mask)
