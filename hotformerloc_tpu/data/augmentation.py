@@ -36,16 +36,27 @@ class RandomRotation:
         self.max_theta = max_theta
         self.max_theta2 = max_theta2
 
+    @staticmethod
+    def _apply(coords: np.ndarray, R: np.ndarray) -> np.ndarray:
+        # column-expanded coords @ R: numpy's (N,3)x(3,3) matmul path is
+        # ~5-10x slower than three fused axpy passes at loader shapes
+        # (tools/loader_bench.py profile)
+        x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+        out = np.empty_like(coords)
+        for j in range(3):
+            out[:, j] = x * R[0, j] + y * R[1, j] + z * R[2, j]
+        return out
+
     def __call__(self, coords: np.ndarray, rng: np.random.Generator):
         axis = self.axis if self.axis is not None else rng.random(3) - 0.5
         theta = (np.pi * self.max_theta / 180.0) * 2.0 * (rng.random() - 0.5)
-        R = _rotation_matrix(axis, theta)
-        coords = coords @ R
+        coords = self._apply(coords, _rotation_matrix(axis, theta))
         if self.max_theta2 is not None:
             t2 = (np.pi * self.max_theta2 / 180.0) * 2.0 * (rng.random()
                                                             - 0.5)
-            coords = coords @ _rotation_matrix(rng.random(3) - 0.5, t2)
-        return coords.astype(np.float32)
+            coords = self._apply(coords,
+                                 _rotation_matrix(rng.random(3) - 0.5, t2))
+        return coords.astype(np.float32, copy=False)
 
 
 class RandomFlip:
@@ -83,15 +94,22 @@ class JitterPoints:
         self.sigma, self.clip, self.p = sigma, clip, p
 
     def __call__(self, e, rng):
-        m = (rng.random(e.shape[0]) < self.p) if self.p < 1.0 \
-            else np.ones(e.shape[0], bool)
-        jitter = self.sigma * rng.standard_normal((int(m.sum()), 3)) \
-            .astype(np.float32)
+        # float32 draws: ~2x the throughput of the default float64 path
+        # on the 2-core loader host (tools/loader_bench.py profile)
+        if self.p < 1.0:
+            m = rng.random(e.shape[0]) < self.p
+            jitter = self.sigma * rng.standard_normal(
+                (int(m.sum()), 3), dtype=np.float32)
+            if self.clip is not None:
+                jitter = np.clip(jitter, -self.clip, self.clip)
+            e = e.copy()
+            e[m] += jitter
+            return e
+        jitter = self.sigma * rng.standard_normal(e.shape,
+                                                  dtype=np.float32)
         if self.clip is not None:
             jitter = np.clip(jitter, -self.clip, self.clip)
-        e = e.copy()
-        e[m] += jitter
-        return e
+        return e + jitter
 
 
 class RemoveRandomPoints:

@@ -60,9 +60,23 @@ class BandTables:
     """Per-level escape bookkeeping for the banded formulation.
 
     hard nodes = nodes with >= 1 valid tap outside their tile's band.
-    E is a static per-level capacity; overflow counts hard nodes beyond
-    it (results are then missing those nodes' escaped-tap contributions
-    — surfaced, never silent).
+    E is a static per-level node capacity; Et a static per-level TAP
+    capacity. overflow counts hard nodes/taps beyond them (results are
+    then missing those escaped-tap contributions — surfaced, never
+    silent).
+
+    Two escape layouts coexist:
+    - node-level (hard_neigh/hard_esc): every hard node's full K taps,
+      gather cost E*K rows — used by the full conv (its banded levels,
+      the depth-8/9 stem, have tiny escape sets).
+    - slot-level (slot_src/slot_k): each hard node's escaped taps
+      COMPACTED into Kc << K slots (measured max 15 escaped taps/node,
+      p50 = 2, on the tests/test_reference_parity.py clouds), gather
+      cost E*Kc rows — used by the dwconv CPE path, where the coarse
+      depths produce 100s of hard nodes. This is what lets E default to
+      N//4 without raising the gather bytes (round-5 parity regression:
+      the old E = N//8 silently overflowed on realistic clouds at
+      depths 5-6, degrading descriptors by ~5e-2).
     """
     tile: int = struct.field(pytree_node=False)
     halo: int = struct.field(pytree_node=False)
@@ -70,6 +84,8 @@ class BandTables:
     hard_neigh: jnp.ndarray  # (B, E, K) neigh rows of hard nodes
     hard_esc: jnp.ndarray    # (B, E, K) bool: valid tap outside band
     hard_pos: jnp.ndarray    # (B, N) int32 position in hard list or -1
+    slot_src: jnp.ndarray    # (B, E, Kc) int32 source row, -1 pad
+    slot_k: jnp.ndarray      # (B, E, Kc) int32 tap index, 0 pad
     overflow: jnp.ndarray    # (B,) int32
 
 
@@ -96,17 +112,22 @@ def _esc_mask(neigh: jnp.ndarray, node_ids: jnp.ndarray, S: int,
 
 def build_band_tables(neigh: jnp.ndarray, S: int = DEFAULT_TILE,
                       HR: int = DEFAULT_HALO,
-                      cap: Optional[int] = None) -> BandTables:
+                      cap: Optional[int] = None,
+                      slot_cap: int = 16) -> BandTables:
     """Compact the escape set of a (B, N, K) neighbour table.
 
-    cap: hard-node capacity E (default max(64, N // 8) rounded up to 8).
+    cap: hard-NODE capacity E (default max(64, N // 4) rounded up to 8
+    — measured worst case on realistic clouds is ~0.21*N at the coarse
+    depths, tests/test_reference_parity.py clouds).
+    slot_cap: escaped taps kept per hard node (measured max 15).
     Runs once per plan build (ops/plan.build_plan) and is reused by
     every conv at that level.
     """
     B, N, K = neigh.shape
     if cap is None:
-        cap = max(64, N // 8)
+        cap = max(64, N // 4)
     E = -(-cap // 8) * 8
+    Kc = min(slot_cap, K)
     node = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None], (B, N))
     esc = _esc_mask(neigh, node, S, HR)              # (B, N, K)
     is_hard = jnp.any(esc, axis=-1)                  # (B, N)
@@ -133,10 +154,27 @@ def build_band_tables(neigh: jnp.ndarray, S: int = DEFAULT_TILE,
     pos = jnp.clip(pos, 0, E - 1)
     hit = jnp.take_along_axis(sorted_ids, pos, axis=-1) == node
     hard_pos = jnp.where(hit, pos, -1).astype(jnp.int32)
+    # Slot compaction along the K axis: each hard node's escaped taps
+    # move to the front of Kc slots (sort-front trick, keys = tap index
+    # where escaped else K). slot_k pads with 0 but slot_src pads with
+    # -1, so padded slots gather zero rows.
+    skey = jnp.where(hard_esc,
+                     jax.lax.broadcasted_iota(jnp.int32, (B, E, K), 2),
+                     K)
+    sorder = jnp.sort(skey, axis=-1)[:, :, :Kc]      # (B, E, Kc)
+    sgot = sorder < K
+    ssafe = jnp.where(sgot, sorder, 0)
+    slot_k = ssafe.astype(jnp.int32)
+    slot_src = jnp.take_along_axis(hard_neigh, ssafe, axis=-1)
+    slot_src = jnp.where(sgot, slot_src, -1).astype(jnp.int32)
+    # Taps beyond Kc slots are dropped — counted as overflow.
+    per_node = jnp.sum(hard_esc.astype(jnp.int32), axis=-1)
+    slot_ovf = jnp.sum(jnp.maximum(per_node - Kc, 0), axis=-1)
     return BandTables(tile=S, halo=HR, hard_idx=hard_idx,
                       hard_neigh=hard_neigh, hard_esc=hard_esc,
-                      hard_pos=hard_pos,
-                      overflow=jnp.maximum(n_hard - E, 0))
+                      hard_pos=hard_pos, slot_src=slot_src,
+                      slot_k=slot_k,
+                      overflow=(jnp.maximum(n_hard - E, 0) + slot_ovf))
 
 
 # -- kernels ---------------------------------------------------------------
@@ -371,12 +409,23 @@ def _band_conv_bwd_call(x, dy, loc, w, S, HR, interpret):
 # -- escape-path corrections (XLA; O(E) flat-gather rows) -------------------
 
 
+def _slot_w(bt: BandTables, w, dtype):
+    """(B, E, Kc, C): per-slot weight row w[slot_k] via a K one-hot
+    matmul (a 27-row table gather is slower than the tiny dot here)."""
+    K = w.shape[0]
+    oh = jax.nn.one_hot(bt.slot_k, K, dtype=dtype)   # (B, E, Kc, K)
+    return jnp.einsum("bejk,kc->bejc", oh, w.astype(dtype))
+
+
 def _esc_dw_rows(x, bt: BandTables, w):
-    """(B, E, C): per-hard-node sum of escaped-tap dwconv contributions."""
+    """(B, E, C): per-hard-node sum of escaped-tap dwconv contributions
+    via the SLOT-compacted layout — gathers E*Kc rows instead of E*K
+    (Kc = 16 covers the measured max of 15 escaped taps per node; the
+    combine is a free sum over the slot axis, no scatter)."""
     from hotformerloc_tpu.ops.conv import _gather_rows
-    g = _gather_rows(x, bt.hard_neigh)               # (B, E, K, C)
-    g = g * bt.hard_esc[..., None].astype(g.dtype)
-    return jnp.einsum("bekc,kc->bec", g, w.astype(g.dtype))
+    xg = _gather_rows(x, bt.slot_src)                # (B, E, Kc, C), 0-pad
+    return jnp.einsum("bejc,bejc->bec", xg, _slot_w(bt, w, xg.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype)
 
 
 def _esc_conv_rows(x, bt: BandTables, w):
@@ -430,14 +479,16 @@ def _banded_dwconv_bwd(interpret, res, dy):
     S, HR = bt.tile, bt.halo
     dx_band, dw_band = _band_dw_bwd_call(x, dy, loc, w, S, HR, interpret)
     # dx escape part: the flip identity dx = dwconv(dy, neigh, w[::-1])
-    # shares neigh (hence the same escape set): patch with w flipped.
+    # shares neigh (hence the same escape set): patch with w flipped
+    # (w[::-1][slot_k] == w[K-1-slot_k], the flipped tap).
     dx = dx_band + _place(_esc_dw_rows(dy, bt, w[::-1]),
                           bt.hard_pos).astype(dx_band.dtype)
-    # dw escape part: escaped taps live only at hard nodes.
-    gx = _gather_rows(x, bt.hard_neigh) * bt.hard_esc[..., None].astype(
-        x.dtype)
-    gdy = _gather_rows(dy, bt.hard_idx)
-    dw_esc = jnp.einsum("bekc,bec->kc", gx, gdy,
+    # dw escape part, slot-level: dw[k, c] = sum over escaped slots with
+    # tap k of x[src, c] * dy[dst, c]; -1 pads gather as zero rows.
+    xg = _gather_rows(x, bt.slot_src)                # (B, E, Kc, C)
+    gdy = _gather_rows(dy, bt.hard_idx)              # (B, E, C)
+    oh = jax.nn.one_hot(bt.slot_k, w.shape[0], dtype=x.dtype)
+    dw_esc = jnp.einsum("bejk,bejc->kc", oh, xg * gdy[:, :, None, :],
                         preferred_element_type=jnp.float32)
     dw = (dw_band + dw_esc).astype(w.dtype)
     return dx, None, dw, None

@@ -106,12 +106,29 @@ def build_plan(octree: BatchedOctree, band_depths: Tuple[int, ...] = (),
     if band_depths:
         from hotformerloc_tpu.ops.pallas.band_conv import (build_band_tables,
                                                            pick_tile)
+
+        def _band(d):
+            neigh = neighs[octree.level(d)]
+            N = neigh.shape[1]
+            # Escape capacities sized by voxel occupancy N / 8^d: dense
+            # coarse levels produce up to ~0.21*N hard nodes with up to
+            # 15 escaped taps each; sparse deep levels a few dozen with
+            # <= 5 (measured on realistic clouds,
+            # tests/test_band_conv.py escape-capacity guard — the
+            # uniform N//8 default silently overflowed at depths 5-6
+            # and broke conv exactness in round 5).
+            occ = N / float(8 ** d)
+            if occ > 1e-2:
+                cap, slots = N // 4, 16
+            elif occ > 5e-4:
+                cap, slots = N // 8, 8
+            else:
+                cap, slots = max(64, N // 16), 8
+            return build_band_tables(neigh, pick_tile(N, band_tile),
+                                     band_halo, cap=cap, slot_cap=slots)
+
         bands = tuple(
-            build_band_tables(
-                neighs[octree.level(d)],
-                pick_tile(neighs[octree.level(d)].shape[1], band_tile),
-                band_halo)
-            if d in band_depths else None
+            _band(d) if d in band_depths else None
             for d in range(octree.min_depth, octree.depth + 1))
     dense_idxs = ()
     if dense_depths:

@@ -190,3 +190,28 @@ class TestModelIntegration:
         gf = np.asarray(m_f.apply(params, pts, mask)["global"])
         gb = np.asarray(m_b.apply(params, pts, mask)["global"])
         np.testing.assert_allclose(gb, gf, rtol=1e-3, atol=1e-4)
+
+
+def test_escape_capacity_covers_realistic_clouds():
+    """Regression guard for the round-5 parity break: the default
+    escape capacities (E = N//4 nodes, 16 slots/node) must hold ALL
+    escaped taps of realistic clouds at the flagship coarse depths —
+    overflow there silently degrades conv exactness (the old N//8 node
+    cap lost ~5e-2 of descriptor cosine on these exact clouds)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_reference_parity import _clouds
+
+    from hotformerloc_tpu.config.params import parse_model_config
+    from hotformerloc_tpu.octree.build import build_batched_octree
+    from hotformerloc_tpu.ops.plan import build_plan
+
+    cfg = parse_model_config("configs/oxford_model.txt", octree_depth=9,
+                             num_points=4096).config
+    pts = jnp.stack([jnp.asarray(c) for c in _clouds(4)])
+    oc = build_batched_octree(pts, jnp.ones(pts.shape[:2], bool), 9,
+                              9 - len(cfg.capacities) + 1, cfg.capacities)
+    plan = build_plan(oc, cfg.band_depths(), cfg.band_tile, cfg.band_halo)
+    for d in cfg.band_depths():
+        bt = plan.bands[oc.level(d)]
+        assert int(np.asarray(bt.overflow).sum()) == 0, f"depth {d}"
