@@ -110,20 +110,29 @@ def build_plan(octree: BatchedOctree, band_depths: Tuple[int, ...] = (),
         def _band(d):
             neigh = neighs[octree.level(d)]
             N = neigh.shape[1]
-            # Escape capacities sized by voxel occupancy N / 8^d: dense
-            # coarse levels produce up to ~0.21*N hard nodes with up to
-            # 15 escaped taps each; sparse deep levels a few dozen with
-            # <= 5 (measured on realistic clouds,
-            # tests/test_band_conv.py escape-capacity guard — the
-            # uniform N//8 default silently overflowed at depths 5-6
-            # and broke conv exactness in round 5).
+            # Escape capacities sized by voxel occupancy N / 8^d.
+            # Measured worst cases (parity clouds + augmented synthetic
+            # benchmark batches): coarse ~0.14*N hard nodes (max 15
+            # escaped taps/node); depth 7 ~0.10*N hard; depth 8 up to
+            # 234 hard at N=4096. The round-4 uniform N//8 default
+            # silently overflowed at depths 5-6 and broke conv
+            # exactness (~5e-2 descriptor error).
+            #
+            # Budget, not blank cheque: these caps give ZERO overflow
+            # on unaugmented realistic clouds (the exactness/parity
+            # bar, tests/test_band_conv.py guard) while augmentation's
+            # occupancy tail may drop O(10) taps/step out of ~4e6
+            # (~1e-5 relative), always surfaced via the band_overflow
+            # stat. Full-margin caps (N//4+24 slots everywhere dense)
+            # were measured 6.4% slower on chip for that last 1e-5 —
+            # rejected (docs/PROFILE.md r5).
             occ = N / float(8 ** d)
             if occ > 1e-2:
                 cap, slots = N // 4, 16
             elif occ > 5e-4:
                 cap, slots = N // 8, 8
             else:
-                cap, slots = max(64, N // 16), 8
+                cap, slots = max(64, N // 8), 16
             return build_band_tables(neigh, pick_tile(N, band_tile),
                                      band_halo, cap=cap, slot_cap=slots)
 
