@@ -21,9 +21,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if os.environ.get("GRAFT_NO_COMPCACHE"):
+    # Escape hatch: this environment's persistent-cache WRITE path can
+    # abort the interpreter (observed: Fatal Python error in
+    # compilation_cache.put_executable_and_time during a cache-miss
+    # write, killing the suite mid-run). Set GRAFT_NO_COMPCACHE=1 to
+    # trade warm-start time for immunity.
+    jax.config.update("jax_enable_compilation_cache", False)
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def pytest_configure(config):
