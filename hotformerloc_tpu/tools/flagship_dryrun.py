@@ -108,16 +108,22 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     import jax
     if os.environ.get("JAX_ENABLE_COMPILATION_CACHE", "").lower() == "false":
-        # Gate mode (__graft_entry__): no persistent cache — its WRITE
-        # path intermittently aborts the interpreter on executables of
-        # exactly this size (see tests/conftest.py GRAFT_NO_COMPCACHE).
+        # No persistent cache — its WRITE path intermittently aborts
+        # the interpreter on executables of exactly this size (see
+        # tests/conftest.py GRAFT_NO_COMPCACHE).
         jax.config.update("jax_enable_compilation_cache", False)
     else:
         os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                               "/root/.cache/jax_comp")
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_comp")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        # Gate mode (__graft_entry__) passes a huge write threshold:
+        # cache READS stay enabled (pre-warmed cache -> fast), the
+        # abort-prone WRITE path never runs.
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            int(os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS",
+                               "0")))
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     if n > 1:
         try:
